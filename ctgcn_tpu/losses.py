@@ -1,0 +1,190 @@
+# coding: utf-8
+"""Loss functions (reference metrics.py re-designed for device-native,
+fixed-shape execution).
+
+NegativeSamplingLoss: the reference builds index lists with a per-node Python
+loop (reference metrics.py:68-93) — the training-loop hot spot.  Here the walk
+co-occurrence artifacts become padded device arrays (``WalkData``) and
+sampling runs with ``jax.random`` inside jit:
+
+  * ≤ ``neg_num`` positive partners per batch node — when the node has more
+    co-occurrence partners than ``neg_num``, partners are drawn uniformly
+    (with replacement; the reference samples without — statistically
+    equivalent at these sizes and RNG parity is impossible anyway, see
+    SURVEY §7.3);
+  * ``neg_num`` shared negatives per (timestamp, batch) drawn from the
+    unigram^0.75 table via ``jax.random.categorical`` — this replaces the
+    reference's replicated-node-list + ``random.sample``;
+  * BCE identities: BCEWithLogits(x, 1) = softplus(-x),
+    BCEWithLogits(x, 0) = softplus(x); the reference's
+    ``neg_score = emb[nodes] @ emb[negs].T summed over negs`` collapses to a
+    single dot with the *sum* of negative embeddings.
+
+AUC values (reference metrics.py:196-202) are computed host-side by the
+trainer from returned logits; loss/accuracy stay on device.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class WalkData:
+    """Per-window walk artifacts as padded device arrays.
+
+    neighbors: int32[T, N, MAXNEI] co-occurrence partner ids (pad: 0).
+    degrees:   int32[T, N] partner count per node.
+    neg_logits: float32[T, N] log unnormalized sampling weight per node
+        (log of the reference's replication count; -inf for weight 0).
+    """
+
+    neighbors: jnp.ndarray
+    degrees: jnp.ndarray
+    neg_logits: jnp.ndarray
+
+
+def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
+                           neg_num=20, Q=10.0):
+    """Skip-gram negative-sampling loss summed over timestamps.
+
+    Args:
+      embs: [T, N, d] node embeddings.
+      batch_idx: int32[B] node ids in this batch (padding entries arbitrary).
+      batch_mask: bool[B] validity of each batch slot.
+      walk: WalkData for the same window.
+      key: PRNG key.
+    """
+    T = embs.shape[0]
+    keys = jax.random.split(key, T)
+
+    def per_timestamp(t_key, emb, neighbors, degrees, neg_logits):
+        kpos, kneg = jax.random.split(t_key)
+        deg = degrees[batch_idx]                      # [B]
+        B = batch_idx.shape[0]
+        S = neg_num
+        slot = jnp.arange(S)[None, :]                 # [1, S]
+        n_valid = jnp.minimum(deg, S)[:, None]        # [B, 1]
+        slot_valid = (slot < n_valid) & batch_mask[:, None]
+        # partner slot selection: all partners when deg <= S, else uniform
+        rand_j = jax.random.randint(kpos, (B, S), 0, jnp.maximum(deg, 1)[:, None])
+        j = jnp.where(deg[:, None] <= S, slot, rand_j)
+        pos_idx = jnp.take_along_axis(neighbors[batch_idx], j, axis=1)  # [B, S]
+
+        e_node = emb[batch_idx]                       # [B, d]
+        e_pos = emb[pos_idx]                          # [B, S, d]
+        pos_score = jnp.sum(e_node[:, None, :] * e_pos, axis=-1)       # [B, S]
+        sample_num = jnp.sum(slot_valid)
+        pos_loss = jnp.sum(
+            jax.nn.softplus(-pos_score) * slot_valid) / jnp.maximum(sample_num, 1)
+
+        neg_idx = jax.random.categorical(kneg, neg_logits, shape=(S,))
+        s_neg = jnp.sum(emb[neg_idx], axis=0)         # [d]
+        neg_score = e_node @ s_neg                    # [B]
+        cnt = jnp.sum(slot_valid, axis=1)             # [B]
+        neg_loss = jnp.sum(
+            jax.nn.softplus(neg_score) * cnt) / jnp.maximum(sample_num, 1)
+
+        loss_t = pos_loss + Q * neg_loss
+        return jnp.where(sample_num > 0, loss_t, 0.0)
+
+    losses = jax.vmap(per_timestamp)(keys, embs, walk.neighbors,
+                                     walk.degrees, walk.neg_logits)
+    return jnp.sum(losses)
+
+
+def reconstruction_loss(embs, trans, batch_idx=None, batch_mask=None):
+    """MSE(structure_embedding, node_embedding) summed over timestamps
+    (reference metrics.py:97-123); optionally restricted to batch rows."""
+    def per_timestamp(emb, tr):
+        if batch_idx is not None:
+            e, s = emb[batch_idx], tr[batch_idx]
+            if batch_mask is not None:
+                diff2 = jnp.square(s - e) * batch_mask[:, None]
+                cnt = jnp.maximum(jnp.sum(batch_mask), 1) * e.shape[-1]
+                return jnp.sum(diff2) / cnt
+            return jnp.mean(jnp.square(s - e))
+        return jnp.mean(jnp.square(tr - emb))
+
+    return jnp.sum(jax.vmap(per_timestamp)(embs, trans))
+
+
+def _bce_logits(logits, labels, mask=None):
+    per = jax.nn.softplus(logits) - logits * labels
+    if mask is None:
+        return jnp.mean(per)
+    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def _ce_logits(logits, labels, mask=None):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if mask is None:
+        return jnp.mean(per)
+    return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def classification_loss(preds, labels, n_class, mask=None):
+    """CE (multiclass) or BCE (binary, 1-D preds) + accuracy, summed/averaged
+    over the leading timestamp axis (reference metrics.py:169-209).
+
+    Args:
+      preds: [T, B] binary logits or [T, B, C] multiclass logits.
+      labels: [T, B] (float 0/1 for binary, int class ids for multiclass).
+      mask: optional bool[T, B] batch-slot validity.
+    Returns (total_loss, mean_acc) — AUC is computed host-side from preds.
+    """
+    T = preds.shape[0]
+
+    def per_timestamp(p, y, m):
+        if p.ndim == 1:
+            loss = _bce_logits(p, y.astype(p.dtype), m)
+            correct = ((p > 0) == (y > 0.5)).astype(p.dtype)
+        else:
+            loss = _ce_logits(p, y.astype(jnp.int32), m)
+            correct = (jnp.argmax(p, axis=-1) == y).astype(p.dtype)
+        if m is None:
+            acc = jnp.mean(correct)
+        else:
+            acc = jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1)
+        return loss, acc
+
+    del T
+    if mask is None:
+        losses, accs = jax.vmap(lambda p, y: per_timestamp(p, y, None))(
+            preds, labels)
+    else:
+        losses, accs = jax.vmap(per_timestamp)(preds, labels, masks)
+    return jnp.sum(losses), jnp.mean(accs)
+
+
+def vae_loss(enc_mean, enc_std, prior_mean, prior_std, dec, adj_dense,
+             eps=1e-10):
+    """VGRNN VAE loss: KLD(enc || prior) + weighted Bernoulli NLL of the dense
+    adjacency reconstruction, summed over timestamps (reference
+    metrics.py:127-161; the double negation there cancels, so the NLL term is
+    ``norm * mean(weighted BCE)``).
+
+    All arguments are [T, ...] stacked arrays; adj_dense is the dense [T,N,N]
+    target (the reference densifies adj at metrics.py:144 too).
+    """
+    def per_timestamp(em, es, pm, ps, de, ad):
+        n = em.shape[0]
+        kld_el = (2 * jnp.log(ps + eps) - 2 * jnp.log(es + eps)
+                  + (jnp.square(es + eps) + jnp.square(em - pm))
+                  / jnp.square(ps + eps) - 1)
+        kld = (0.5 / n) * jnp.mean(jnp.sum(kld_el, axis=1))
+        tot = n * n
+        s = jnp.sum(ad)
+        posw = (tot - s) / s
+        norm = tot / ((tot - s) * 2.0)
+        # torch BCEWithLogits with pos_weight: l = -[pw*y*log σ(x) + (1-y)*log(1-σ(x))]
+        logsig = jax.nn.log_sigmoid(de)
+        log1msig = jax.nn.log_sigmoid(-de)
+        bce = -(posw * ad * logsig + (1 - ad) * log1msig)
+        return kld + norm * jnp.mean(bce)
+
+    terms = jax.vmap(per_timestamp)(enc_mean, enc_std, prior_mean, prior_std,
+                                    dec, adj_dense)
+    return jnp.sum(terms)

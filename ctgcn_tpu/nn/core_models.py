@@ -1,0 +1,236 @@
+# coding: utf-8
+"""The CTGCN model family: CoreDiffusion, CDN, CGCN, CTGCN.
+
+TPU-first re-design of reference layers.py:9-63 and models.py:8-42,129-253:
+
+  * the per-core Python loop with its prefix-sum accumulation
+    (reference layers.py:41-47) becomes a masked ``lax.scan`` over the fixed
+    core-slot bank of a :class:`~ctgcn_tpu.ops.pyramid.CorePyramid`;
+  * the core-axis GRU/LSTM + sum + LayerNorm (layers.py:58-62) runs via
+    ``rnn_scan`` with the pyramid's validity mask (packed-seq semantics);
+  * CGCN applies one shared MLP+CDN per snapshot via ``vmap`` over time;
+  * CTGCN keeps per-timestep *distinct* MLP+CDN parameters
+    (models.py:222-231) by stacking parameter pytrees along a leading time
+    axis and ``vmap``-ing over them, then runs the time-axis RNN + LayerNorm
+    (models.py:240-253);
+  * identity node features (the common CGCN-C/CTGCN-C configuration, where
+    x = I and input_dim = N) never materialize the N×N identity: passing
+    ``x=None`` makes the first Linear return its weight matrix directly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ctgcn_tpu.nn.layers import MLP, LayerNorm
+from ctgcn_tpu.ops.pyramid import CorePyramid
+from ctgcn_tpu.ops.rnn import GRUCell, LSTMCell, rnn_scan
+
+
+def _make_rnn(key, rnn_type, input_dim, hidden_dim, bias=True):
+    assert rnn_type in ("GRU", "LSTM")
+    cls = GRUCell if rnn_type == "GRU" else LSTMCell
+    return cls.init(key, input_dim, hidden_dim, bias=bias)
+
+
+def _mlp_maybe_identity(mlp: MLP, x):
+    """Apply an MLP where ``x=None`` means identity features (x = I_N)."""
+    if x is None:
+        first = mlp.layers[0]
+        h = first.weight if first.bias is None else first.weight + first.bias
+        if mlp.activate_type == "N":
+            h = jax.nn.selu(h)
+        for lin in mlp.layers[1:]:
+            h = lin(h)
+            if mlp.activate_type == "N":
+                h = jax.nn.selu(h)
+        return h
+    return mlp(x)
+
+
+@struct.dataclass
+class CoreDiffusion:
+    """K-core diffusion layer (reference layers.py:9-63).
+
+    h_k = h_{k-1} + A_k @ x accumulated over valid core slots (max core
+    first), ReLU'd per step, then a 1-layer RNN over the core axis whose
+    outputs are summed and LayerNorm'd.
+    """
+
+    rnn: GRUCell | LSTMCell
+    norm: LayerNorm
+
+    @staticmethod
+    def init(key, input_dim, output_dim, bias=True, rnn_type="GRU"):
+        return CoreDiffusion(
+            rnn=_make_rnn(key, rnn_type, input_dim, output_dim, bias=bias),
+            norm=LayerNorm.init(output_dim),
+        )
+
+    def __call__(self, x, pyramid: CorePyramid):
+        n = pyramid.n_nodes
+
+        def scan_body(acc, slot):
+            rows, cols, vals, valid = slot
+            contrib = jax.ops.segment_sum(
+                x[cols] * vals[:, None], rows, num_segments=n,
+                indices_are_sorted=True,
+            )
+            acc_new = jnp.where(valid, acc + contrib, acc)
+            h = jnp.where(valid, jax.nn.relu(acc_new), 0.0)
+            return acc_new, h
+
+        acc0 = jnp.zeros_like(x)
+        _, hx = jax.lax.scan(
+            scan_body, acc0,
+            (pyramid.rows, pyramid.cols, pyramid.vals, pyramid.valid),
+        )
+        # hx: [K, N, in]; RNN over the core axis with packed-seq masking
+        outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)
+        return self.norm(outs.sum(axis=0))
+
+
+@struct.dataclass
+class CDN:
+    """K-core diffusion network: a stack of CoreDiffusion layers
+    (reference models.py:8-42)."""
+
+    layers: tuple  # tuple of CoreDiffusion
+
+    @staticmethod
+    def init(key, input_dim, hidden_dim, output_dim, diffusion_num, bias=True,
+             rnn_type="GRU"):
+        assert diffusion_num > 0
+        keys = jax.random.split(key, diffusion_num)
+        if diffusion_num == 1:
+            dims = [(input_dim, output_dim)]
+        else:
+            dims = ([(input_dim, hidden_dim)]
+                    + [(hidden_dim, hidden_dim)] * (diffusion_num - 2)
+                    + [(hidden_dim, output_dim)])
+        layers = tuple(
+            CoreDiffusion.init(keys[i], d_in, d_out, bias=bias,
+                               rnn_type=rnn_type)
+            for i, (d_in, d_out) in enumerate(dims)
+        )
+        return CDN(layers=layers)
+
+    def __call__(self, x, pyramid):
+        for layer in self.layers:
+            x = layer(x, pyramid)
+        return x
+
+
+@struct.dataclass
+class CGCN:
+    """Static k-core GCN (reference models.py:129-187).
+
+    'C' variant: MLP(in→hid) feature transform then CDN(hid→out).
+    'S' variant: MLP(in→out); the transform output is also returned as the
+    structure embedding for the reconstruction loss.
+    One parameter set shared across snapshots; the multi-snapshot call vmaps
+    over time.
+    """
+
+    mlp: MLP
+    cdn: CDN
+    model_type: str = struct.field(pytree_node=False)
+
+    method_name = property(lambda self: "CGCN-" + self.model_type)
+
+    @staticmethod
+    def init(key, input_dim, hidden_dim, output_dim, trans_num, diffusion_num,
+             bias=True, rnn_type="GRU", model_type="C",
+             trans_activate_type="L"):
+        assert model_type in ("C", "S")
+        k1, k2 = jax.random.split(key)
+        if model_type == "C":
+            mlp = MLP.init(k1, input_dim, hidden_dim, hidden_dim, trans_num,
+                           bias=bias, activate_type=trans_activate_type)
+            cdn = CDN.init(k2, hidden_dim, output_dim, output_dim,
+                           diffusion_num, bias=bias, rnn_type=rnn_type)
+        else:
+            mlp = MLP.init(k1, input_dim, hidden_dim, output_dim, trans_num,
+                           bias=bias, activate_type=trans_activate_type)
+            cdn = CDN.init(k2, output_dim, output_dim, output_dim,
+                           diffusion_num, bias=bias, rnn_type=rnn_type)
+        return CGCN(mlp=mlp, cdn=cdn, model_type=model_type)
+
+    def single(self, x, pyramid):
+        trans = _mlp_maybe_identity(self.mlp, x)
+        emb = self.cdn(trans, pyramid)
+        if self.model_type == "S":
+            return emb, trans
+        return emb
+
+    def __call__(self, xs, pyramids):
+        """xs: [T, N, in] or None (identity); pyramids: stacked [T, ...]."""
+        if xs is None:
+            fn = lambda pyr: self.single(None, pyr)
+            res = jax.vmap(fn)(pyramids)
+        else:
+            res = jax.vmap(self.single)(xs, pyramids)
+        return res  # [T, N, out] or (embs, trans) for 'S'
+
+
+@struct.dataclass
+class CTGCN:
+    """Temporal k-core GCN (reference models.py:191-253).
+
+    Per-timestep distinct MLP+CDN stacks (parameters stacked on a leading
+    time axis), a single RNN over the time axis, then LayerNorm.
+    """
+
+    mlps: MLP   # leaves carry a leading [T] axis
+    cdns: CDN   # leaves carry a leading [T] axis
+    rnn: GRUCell | LSTMCell
+    norm: LayerNorm
+    duration: int = struct.field(pytree_node=False)
+    model_type: str = struct.field(pytree_node=False)
+
+    method_name = property(lambda self: "CTGCN-" + self.model_type)
+
+    @staticmethod
+    def init(key, input_dim, hidden_dim, output_dim, trans_num, diffusion_num,
+             duration, bias=True, rnn_type="GRU", model_type="C",
+             trans_activate_type="L"):
+        assert model_type in ("C", "S")
+        keys = jax.random.split(key, duration + 1)
+        per_t = [
+            CGCN.init(keys[t], input_dim, hidden_dim, output_dim, trans_num,
+                      diffusion_num, bias=bias, rnn_type=rnn_type,
+                      model_type=model_type,
+                      trans_activate_type=trans_activate_type)
+            for t in range(duration)
+        ]
+        mlps = jax.tree.map(lambda *xs: jnp.stack(xs), *[m.mlp for m in per_t])
+        cdns = jax.tree.map(lambda *xs: jnp.stack(xs), *[m.cdn for m in per_t])
+        rnn = _make_rnn(keys[duration], rnn_type, output_dim, output_dim,
+                        bias=bias)
+        return CTGCN(mlps=mlps, cdns=cdns, rnn=rnn,
+                     norm=LayerNorm.init(output_dim), duration=duration,
+                     model_type=model_type)
+
+    def __call__(self, xs, pyramids):
+        """xs: [T, N, in] or None; pyramids: stacked [T, K, P] leaves.
+
+        Returns [T, N, out] embeddings ('C'), or (embeddings, trans [T, N, d])
+        for the 'S' variant.
+        """
+        def per_t(mlp, cdn, x, pyr):
+            trans = _mlp_maybe_identity(mlp, x)
+            emb = cdn(trans, pyr)
+            return emb, trans
+
+        if xs is None:
+            fn = lambda mlp, cdn, pyr: per_t(mlp, cdn, None, pyr)
+            hx, trans = jax.vmap(fn)(self.mlps, self.cdns, pyramids)
+        else:
+            hx, trans = jax.vmap(per_t)(self.mlps, self.cdns, xs, pyramids)
+        # hx: [T, N, out] — time-axis RNN (batch = nodes), then LayerNorm
+        outs, _ = rnn_scan(self.rnn, hx)
+        out = self.norm(outs)
+        if self.model_type == "C":
+            return out
+        return out, trans

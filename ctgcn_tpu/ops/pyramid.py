@@ -1,0 +1,106 @@
+# coding: utf-8
+"""CorePyramid: the k-core adjacency hierarchy as a static-shape container.
+
+The reference loads, per snapshot, a variable-length list of k-core adjacency
+matrices ordered max-core-first, adds I to the first (max-core) matrix only,
+and *drops* any core whose delta vs the previous core is empty (reference
+helper.py:51-82).  Variable-length lists don't jit, so here the pyramid is a
+fixed bank of K core slots:
+
+  rows/cols/vals: [K, P] padded COO per core slot (slot 0 = max core, +I)
+  valid:          bool[K] — False for dropped (delta-empty) and absent cores
+
+Masked scan over the slots reproduces the reference numerics exactly: an
+invalid slot neither extends the diffusion prefix sum nor advances the
+core-axis RNN (see ctgcn_tpu.nn.core_models.CoreDiffusion).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ctgcn_tpu.utils import pad_bucket
+
+
+@struct.dataclass
+class CorePyramid:
+    rows: jnp.ndarray   # int32[K, P]
+    cols: jnp.ndarray   # int32[K, P]
+    vals: jnp.ndarray   # float32[K, P]
+    valid: jnp.ndarray  # bool[K]
+    n_nodes: int = struct.field(pytree_node=False)
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def capacity(self) -> int:
+        return int(self.rows.shape[1])
+
+
+def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
+                       add_eye_first=True, drop_empty_delta=True):
+    """Build a CorePyramid from scipy matrices ordered max-core-first.
+
+    Args:
+      core_mats: list of scipy sparse [N, N], max core first (the caller is
+        responsible for the reference's truncate-to-max_core + reverse step).
+      num_slots: fixed K (≥ number of kept cores); defaults to len(core_mats).
+      pad_to: per-slot COO capacity; defaults to a power-of-two bucket over
+        the max kept nnz (max-core slot includes +I).
+      add_eye_first: add I to slot 0 (reference helper.py:71-73).
+      drop_empty_delta: mark a core invalid when it equals the previous kept
+        core (reference helper.py:74-76's delta-skip, as a mask).
+    """
+    import scipy.sparse as sp
+
+    kept = []
+    prev = None
+    for j, mat in enumerate(core_mats):
+        mat = mat.tocsr()
+        if j == 0:
+            out = mat + sp.eye(n_nodes, format="csr") if add_eye_first else mat
+            kept.append(out)
+        else:
+            if drop_empty_delta and prev is not None:
+                delta = (mat - prev)
+                if abs(delta).sum() == 0:
+                    prev = mat
+                    continue
+            kept.append(mat)
+        prev = mat
+
+    K = int(num_slots) if num_slots is not None else max(len(kept), 1)
+    assert len(kept) <= K, f"{len(kept)} kept cores > {K} slots"
+    max_nnz = max((m.nnz for m in kept), default=1)
+    P = int(pad_to) if pad_to is not None else pad_bucket(max_nnz, 256)
+
+    rows = np.zeros((K, P), np.int32)
+    cols = np.zeros((K, P), np.int32)
+    vals = np.zeros((K, P), np.float32)
+    valid = np.zeros((K,), bool)
+    for k, m in enumerate(kept):
+        coo = m.tocoo()
+        keep = coo.data != 0
+        r, c, v = coo.row[keep], coo.col[keep], coo.data[keep]
+        order = np.lexsort((c, r))
+        r, c, v = r[order], c[order], v[order]
+        nnz = r.shape[0]
+        assert nnz <= P, f"core nnz {nnz} > capacity {P}"
+        rows[k, :nnz] = r
+        cols[k, :nnz] = c
+        vals[k, :nnz] = v
+        valid[k] = True
+
+    return CorePyramid(rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                       vals=jnp.asarray(vals), valid=jnp.asarray(valid),
+                       n_nodes=int(n_nodes))
+
+
+def stack_pyramids(pyramids):
+    """Stack per-snapshot pyramids (same K, P) into [T, K, P] leaves."""
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *pyramids)

@@ -1,0 +1,117 @@
+# coding: utf-8
+"""Kernel-level parity tests: SpMM / SDDMM / sparse containers vs dense numpy."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from ctgcn_tpu.ops import sparse as sparse_mod
+from ctgcn_tpu.ops.sparse import SparseGraph, from_scipy, to_dense, eye
+from ctgcn_tpu.ops.spmm import spmm, spmm_t, sddmm, spmm_ev
+
+
+def test_from_scipy_roundtrip(toy_adj):
+    g = from_scipy(toy_adj)
+    back = sparse_mod.to_scipy(g)
+    np.testing.assert_allclose(back.toarray(), toy_adj.toarray(), rtol=1e-6)
+    assert g.capacity >= toy_adj.nnz
+    # padding entries carry zero values
+    assert int((np.asarray(g.vals) != 0).sum()) == toy_adj.nnz
+
+
+def test_spmm_matches_dense(toy_adj, toy_features):
+    g = from_scipy(toy_adj)
+    expected = toy_adj.toarray() @ toy_features
+    got = spmm(g, jnp.asarray(toy_features))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-5)
+    got_dense = spmm(g, jnp.asarray(toy_features), backend="dense")
+    np.testing.assert_allclose(np.asarray(got_dense), expected, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_spmm_t_matches_dense(toy_adj, toy_features):
+    g = from_scipy(toy_adj)
+    expected = toy_adj.toarray().T @ toy_features
+    got = spmm_t(g, jnp.asarray(toy_features))
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_rectangular(rng):
+    dense = (rng.rand(20, 33) < 0.2).astype(np.float32) * rng.rand(20, 33)
+    g = from_scipy(sp.coo_matrix(dense))
+    x = rng.randn(33, 8).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm(g, jnp.asarray(x))), dense @ x,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_grad_matches_dense(toy_adj, toy_features):
+    g = from_scipy(toy_adj)
+    x = jnp.asarray(toy_features)
+
+    def f_sparse(x):
+        return jnp.sum(jnp.sin(spmm(g, x)))
+
+    def f_dense(x):
+        return jnp.sum(jnp.sin(jnp.asarray(toy_adj.toarray()) @ x))
+
+    gs = jax.grad(f_sparse)(x)
+    gd = jax.grad(f_dense)(x)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_spmm_ev_grads(toy_adj, toy_features):
+    g = from_scipy(toy_adj)
+    x = jnp.asarray(toy_features)
+    vals = g.vals
+
+    def f(vals, x):
+        return jnp.sum(jnp.tanh(spmm_ev(g.rows, g.cols, vals, x, g.n_rows)))
+
+    dvals, dx = jax.grad(f, argnums=(0, 1))(vals, x)
+    # dense reference
+    A = jnp.zeros(g.shape).at[g.rows, g.cols].add(vals)
+
+    def fd(A, x):
+        return jnp.sum(jnp.tanh(A @ x))
+
+    dA, dxd = jax.grad(fd, argnums=(0, 1))(A, x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dxd), rtol=1e-4,
+                               atol=1e-5)
+    # per-edge grad must match the dense dA at edge positions
+    mask = np.asarray(g.nnz_mask())
+    rows = np.asarray(g.rows)[mask]
+    cols = np.asarray(g.cols)[mask]
+    np.testing.assert_allclose(np.asarray(dvals)[mask],
+                               np.asarray(dA)[rows, cols], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sddmm(toy_adj, rng):
+    g = from_scipy(toy_adj)
+    a = rng.randn(toy_adj.shape[0], 12).astype(np.float32)
+    b = rng.randn(toy_adj.shape[0], 12).astype(np.float32)
+    scores = np.asarray(sddmm(g, jnp.asarray(a), jnp.asarray(b)))
+    mask = np.asarray(g.nnz_mask())
+    rows, cols = np.asarray(g.rows)[mask], np.asarray(g.cols)[mask]
+    expected = np.sum(a[rows] * b[cols], axis=1)
+    np.testing.assert_allclose(scores[mask], expected, rtol=1e-5, atol=1e-5)
+
+
+def test_eye_and_to_dense():
+    g = eye(7)
+    np.testing.assert_allclose(np.asarray(to_dense(g)), np.eye(7))
+
+
+def test_normalize_scipy_adj(toy_adj):
+    sym = sparse_mod.normalize_scipy_adj(toy_adj, row_norm=False).toarray()
+    d = np.asarray(toy_adj.sum(1)).flatten()
+    dinv = np.where(d > 0, d ** -0.5, 0.0)
+    expected = dinv[:, None] * toy_adj.toarray() * dinv[None, :]
+    np.testing.assert_allclose(sym, expected, rtol=1e-6)
+
+    row = sparse_mod.normalize_scipy_adj(toy_adj, row_norm=True).toarray()
+    dinv1 = np.where(d > 0, 1.0 / d, 0.0)
+    np.testing.assert_allclose(row, dinv1[:, None] * toy_adj.toarray(),
+                               rtol=1e-6)

@@ -1,0 +1,114 @@
+# coding: utf-8
+"""Benchmark: CTGCN-C training-step throughput on UCI (real chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: effective edge traversals per second per chip through the k-core
+diffusion SpMMs of a full jitted CTGCN-C training step (forward + negative
+sampling loss + backward + Adam), steady state.  Edge count per step =
+sum over timesteps / valid core slots / diffusion layers of nnz, counting
+forward and the two backward SpMM transposes (3x).
+
+``vs_baseline`` compares against the measured reference (torch, same
+machine class) per-epoch wall time recorded in BASELINE_MEASURED.json when
+present, else 1.0.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ctgcn_tpu.data.loader import DataLoader
+    from ctgcn_tpu.data.formats import read_node_list
+    from ctgcn_tpu.losses import negative_sampling_loss
+    from ctgcn_tpu.nn import CTGCN
+    from ctgcn_tpu.training.engine import make_optimizer
+    import optax
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "uci")
+    core_path = os.path.join(base, "CTGCN", "ctgcn_cores")
+    if not os.path.isdir(core_path):
+        from ctgcn_tpu.main import main as cli
+        cli(["--config=configs/uci.json", "--task=preprocessing",
+             "--method=CTGCN-C"])
+
+    nodes = read_node_list(os.path.join(base, "nodes_set", "nodes.csv"))
+    T = 7
+    loader = DataLoader(nodes, T)
+    pyr = loader.get_core_adj_list(core_path, 0, T, max_core=-1)
+    walk = loader.get_walk_data(
+        os.path.join(base, "CTGCN", "ctgcn_walk_pairs"),
+        os.path.join(base, "CTGCN", "ctgcn_node_freq"), 0, T)
+    N = len(nodes)
+
+    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=500,
+                       output_dim=128, trans_num=1, diffusion_num=2,
+                       duration=T)
+    optimizer = make_optimizer(1e-3, weight_decay=5e-4)
+    opt_state = optimizer.init(model)
+    batch_idx = jnp.arange(N, dtype=jnp.int32)
+    batch_mask = jnp.ones((N,), bool)
+
+    def loss_fn(model, key):
+        embs = model(None, pyr)
+        return negative_sampling_loss(embs, batch_idx, batch_mask, walk, key,
+                                      neg_num=20, Q=20.0)
+
+    @jax.jit
+    def train_step(model, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(model, key)
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    key = jax.random.key(1)
+    # warmup / compile
+    model, opt_state, loss = train_step(model, opt_state, key)
+    jax.block_until_ready(loss)
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        model, opt_state, loss = train_step(model, opt_state, k)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / iters
+
+    # edges traversed per step: valid-slot nnz × diffusion layers × 3
+    # (forward SpMM + backward dX SpMM^T + backward accumulation pass)
+    nnz = float(jnp.sum((pyr.vals != 0).astype(jnp.float32)
+                        * pyr.valid[:, :, None].astype(jnp.float32)))
+    diffusion_num = 2
+    edges_per_step = nnz * diffusion_num * 3
+    eps = edges_per_step / dt
+
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as fp:
+            ref = json.load(fp)
+        ref_step = ref.get("ctgcn_c_uci_step_seconds")
+        if ref_step:
+            vs_baseline = ref_step / dt  # speedup over reference train step
+
+    print(json.dumps({
+        "metric": "ctgcn_c_uci_train_step_edge_traversals_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

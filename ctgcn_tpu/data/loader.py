@@ -1,0 +1,257 @@
+# coding: utf-8
+"""Window loaders: reference helper.py DataLoader re-designed for static
+shapes.
+
+Every loader pads all snapshots of a window to a common capacity so the
+window stacks into [T, ...] device arrays that jit/vmap/scan over cleanly.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from ctgcn_tpu.data.formats import get_sp_adj_mat, sorted_dir
+from ctgcn_tpu.losses import WalkData
+from ctgcn_tpu.ops.pyramid import CorePyramid, build_core_pyramid, stack_pyramids
+from ctgcn_tpu.ops.sparse import SparseGraph, from_scipy, normalize_scipy_adj
+from ctgcn_tpu.utils import pad_bucket
+
+
+def stack_graphs(graphs):
+    """Stack equally-padded SparseGraphs into one with leading [T] axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+class DataLoader:
+    """Per-window data loading (reference helper.py:12-222).
+
+    Produces stacked device arrays rather than per-snapshot torch tensors.
+    """
+
+    def __init__(self, node_list, max_time_num):
+        self.max_time_num = max_time_num
+        self.full_node_list = node_list
+        self.node_num = len(node_list)
+        self.node2idx_dict = dict(zip(node_list, range(self.node_num)))
+
+    def _window(self, start_idx, duration):
+        return range(start_idx, min(start_idx + duration, self.max_time_num))
+
+    # ------------------------------------------------------------------
+    # adjacency
+    # ------------------------------------------------------------------
+    def get_scipy_adj_list(self, origin_base_path, start_idx, duration,
+                           sep="\t", normalize=False, row_norm=False,
+                           add_eye=False):
+        """Raw/normalized scipy COO list (host side)."""
+        f_list = sorted_dir(origin_base_path)
+        out = []
+        for i in self._window(start_idx, duration):
+            spmat = get_sp_adj_mat(
+                os.path.join(origin_base_path, f_list[i]),
+                self.full_node_list, sep=sep)
+            if add_eye:
+                spmat = spmat + sp.eye(spmat.shape[0])
+            if normalize:
+                spmat = normalize_scipy_adj(spmat, row_norm=row_norm)
+            out.append(spmat)
+        return out
+
+    def get_date_adj_list(self, origin_base_path, start_idx, duration,
+                          sep="\t", normalize=False, row_norm=False,
+                          add_eye=False, stacked=True):
+        """Per-snapshot adjacency as SparseGraphs (equal capacity); when
+        ``stacked`` returns a single [T]-leading SparseGraph pytree."""
+        mats = self.get_scipy_adj_list(origin_base_path, start_idx, duration,
+                                       sep=sep, normalize=normalize,
+                                       row_norm=row_norm, add_eye=add_eye)
+        cap = pad_bucket(max((m.nnz for m in mats), default=1))
+        graphs = [from_scipy(m, pad_to=cap) for m in mats]
+        return stack_graphs(graphs) if stacked else graphs
+
+    def get_edge_list(self, origin_base_path, start_idx, duration, sep="\t"):
+        """Host-side [2, E_t] int arrays per snapshot (both edge directions),
+        the reference's ``adj._indices()`` (train.py:62)."""
+        mats = self.get_scipy_adj_list(origin_base_path, start_idx, duration,
+                                       sep=sep)
+        return [np.stack([m.row, m.col]).astype(np.int64) for m in mats]
+
+    # ------------------------------------------------------------------
+    # k-core pyramids
+    # ------------------------------------------------------------------
+    def get_core_adj_list(self, core_base_path, start_idx, duration,
+                          max_core=-1, stacked=True):
+        """K-core pyramid bank (reference helper.py:51-82 semantics:
+        truncate to max_core, reverse so max core first, +I on the first,
+        delta-skip as validity masks)."""
+        date_dirs = sorted_dir(core_base_path)
+        assert start_idx < len(date_dirs)
+        window = list(self._window(start_idx, duration))
+
+        per_snap_mats = []
+        for i in window:
+            ddir = os.path.join(core_base_path, date_dirs[i])
+            f_list = sorted_dir(ddir)
+            mc = len(f_list) if max_core == -1 else max_core
+            f_list = f_list[:mc][::-1]  # max core first
+            per_snap_mats.append(
+                [sp.load_npz(os.path.join(ddir, f)) for f in f_list])
+
+        num_slots = max(len(m) for m in per_snap_mats)
+        # common capacity: +I on the first slot adds ≤ N entries
+        max_nnz = max(
+            (m.nnz + (self.node_num if j == 0 else 0))
+            for mats in per_snap_mats for j, m in enumerate(mats))
+        cap = pad_bucket(max_nnz)
+        pyramids = [
+            build_core_pyramid(mats, self.node_num, num_slots=num_slots,
+                               pad_to=cap)
+            for mats in per_snap_mats
+        ]
+        return stack_pyramids(pyramids) if stacked else pyramids
+
+    # ------------------------------------------------------------------
+    # walk artifacts → WalkData
+    # ------------------------------------------------------------------
+    def get_walk_data(self, walk_pair_base_path, node_freq_base_path,
+                      start_idx, duration):
+        """Walk co-occurrence + frequency artifacts as padded device arrays
+        (replaces reference helper.py:85-106 + the per-node Python loop in
+        metrics.py:68-93)."""
+        walk_files = sorted_dir(walk_pair_base_path)
+        freq_files = sorted_dir(node_freq_base_path)
+        neighbors_t, degrees_t, logits_t = [], [], []
+        max_deg = 1
+        rows_list = []
+        for i in self._window(start_idx, duration):
+            walk_spadj = sp.load_npz(
+                os.path.join(walk_pair_base_path, walk_files[i])).tolil()
+            rows = walk_spadj.rows
+            rows_list.append(rows)
+            max_deg = max(max_deg, max((len(r) for r in rows), default=0))
+
+            with open(os.path.join(node_freq_base_path, freq_files[i])) as fp:
+                freq_list = json.load(fp)
+            counts = np.bincount(np.asarray(freq_list, dtype=np.int64),
+                                 minlength=self.node_num).astype(np.float64)
+            with np.errstate(divide="ignore"):
+                logits = np.log(counts)
+            logits_t.append(logits.astype(np.float32))
+
+        for rows in rows_list:
+            nb = np.zeros((self.node_num, max_deg), np.int32)
+            dg = np.zeros((self.node_num,), np.int32)
+            for n, r in enumerate(rows):
+                dg[n] = len(r)
+                nb[n, :len(r)] = r
+            neighbors_t.append(nb)
+            degrees_t.append(dg)
+
+        return WalkData(
+            neighbors=jnp.asarray(np.stack(neighbors_t)),
+            degrees=jnp.asarray(np.stack(degrees_t)),
+            neg_logits=jnp.asarray(np.stack(logits_t)),
+        )
+
+    # ------------------------------------------------------------------
+    # features
+    # ------------------------------------------------------------------
+    def get_feature_list(self, feature_base_path, start_idx, duration,
+                         sep="\t"):
+        """Node features: None (= identity, never materialized; the models'
+        identity fast path consumes it) or zero-padded file features
+        (reference helper.py:161-192)."""
+        import pandas as pd
+
+        if feature_base_path is None:
+            return None, self.node_num
+        feature_files = sorted_dir(feature_base_path)
+        arrs = []
+        for i in self._window(start_idx, duration):
+            df = pd.read_csv(os.path.join(feature_base_path,
+                                          feature_files[i]), sep=sep,
+                             header=0)
+            arrs.append(df.values)
+        max_dim = max(a.shape[1] for a in arrs)
+        padded = [
+            np.hstack([a, np.zeros((a.shape[0], max_dim - a.shape[1]))])
+            for a in arrs
+        ]
+        xs = jnp.asarray(np.stack(padded).astype(np.float32))
+        return xs, max_dim
+
+    def get_degree_feature_list(self, origin_base_path, start_idx, duration,
+                                sep="\t", init_type="gaussian", std=1e-4,
+                                rng=None):
+        """Degree-based features (reference helper.py:109-158): 'gaussian'
+        N(degree, std) of dim max_degree+1 (window max), 'one-hot' degree,
+        'adj' rows, 'combine' gaussian ‖ adj.  Dense [T, N, D] output."""
+        assert init_type in ("gaussian", "adj", "combine", "one-hot")
+        rng = rng if rng is not None else np.random
+        mats = self.get_scipy_adj_list(origin_base_path, start_idx, duration,
+                                       sep=sep)
+        degree_list = [
+            np.asarray(m.sum(axis=1)).astype(np.int64).flatten() for m in mats
+        ]
+        max_degree = int(max(d.max() for d in degree_list))
+        xs = []
+        for i, degrees in enumerate(degree_list):
+            if init_type == "gaussian":
+                fea = rng.normal(
+                    loc=degrees[:, None].astype(np.float64), scale=std,
+                    size=(self.node_num, max_degree + 1))
+                xs.append(fea.astype(np.float32))
+            elif init_type == "one-hot":
+                fea = np.zeros((self.node_num, max_degree + 1), np.float32)
+                fea[np.arange(self.node_num), degrees] = 1.0
+                xs.append(fea)
+            elif init_type == "adj":
+                xs.append(mats[i].toarray().astype(np.float32))
+            else:  # combine
+                fea = rng.normal(
+                    loc=degrees[:, None].astype(np.float64), scale=std,
+                    size=(self.node_num, max_degree + 1))
+                xs.append(np.hstack(
+                    [fea, mats[i].toarray()]).astype(np.float32))
+        stacked = jnp.asarray(np.stack(xs))
+        return stacked, int(stacked.shape[-1])
+
+    # ------------------------------------------------------------------
+    # labels
+    # ------------------------------------------------------------------
+    def get_node_label_list(self, nlabel_base_path, start_idx, duration,
+                            sep="\t"):
+        """[(node_idx, label)] per snapshot (host arrays) + n_class
+        (reference helper.py:194-207)."""
+        import pandas as pd
+
+        files = sorted_dir(nlabel_base_path)
+        out, labels_seen = [], set()
+        for i in self._window(start_idx, duration):
+            df = pd.read_csv(os.path.join(nlabel_base_path, files[i]),
+                             sep=sep, header=0, names=["node", "label"])
+            df["node"] = df["node"].map(self.node2idx_dict)
+            labels_seen.update(df["label"].unique().tolist())
+            out.append(df.values.astype(np.int64))
+        return out, len(labels_seen)
+
+    def get_edge_label_list(self, elabel_base_path, start_idx, duration,
+                            sep="\t"):
+        import pandas as pd
+
+        files = sorted_dir(elabel_base_path)
+        out, labels_seen = [], set()
+        for i in self._window(start_idx, duration):
+            df = pd.read_csv(os.path.join(elabel_base_path, files[i]),
+                             sep=sep, header=0,
+                             names=["from_id", "to_id", "label"])
+            df["from_id"] = df["from_id"].map(self.node2idx_dict)
+            df["to_id"] = df["to_id"].map(self.node2idx_dict)
+            labels_seen.update(df["label"].unique().tolist())
+            out.append(df.values.astype(np.int64))
+        return out, len(labels_seen)

@@ -1,0 +1,103 @@
+# coding: utf-8
+"""CLI dispatcher (reference main.py re-designed, same flag surface):
+
+    python -m ctgcn_tpu.main --config=<json> --task=<task> [--method=<M>]
+
+Tasks: preprocessing, embedding, link_pred, node_cls, edge_cls, cent_pred,
+sim_pred.  Configs are dataset JSON files keyed ``{task: {method: params}}``
+— the reference's config schema (config/README.md) is accepted unchanged so
+existing configs port directly (CUDA-specific keys are ignored).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ctgcn_tpu.utils import get_supported_methods
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        prog="ctgcn_tpu",
+        description="TPU-native K-core Temporal Graph Convolutional Network")
+    parser.add_argument("--config", nargs=1, type=str, required=True,
+                        help="configuration file path")
+    parser.add_argument("--task", type=str, required=True,
+                        help="task name to run")
+    parser.add_argument("--method", type=str, default=None,
+                        help="embedding method (embedding/preprocessing task)")
+    return parser.parse_args(argv)
+
+
+def parse_json_args(file_path):
+    with open(file_path) as fp:
+        return json.load(fp)
+
+
+def preprocessing_task(method, args):
+    from ctgcn_tpu.preprocessing import preprocess
+
+    preprocess(method, args[method])
+
+
+def embedding_task(method, args):
+    assert method in get_supported_methods()
+    if method in ("DynGEM", "DynAE", "DynRNN", "DynAERNN"):
+        from ctgcn_tpu.nn.dynae import dyngem_embedding
+
+        dyngem_embedding(method, args)
+    elif method == "TIMERS":
+        from ctgcn_tpu.nn.timers import timers_embedding
+
+        timers_embedding(args)
+    else:
+        from ctgcn_tpu.training.driver import gnn_embedding
+
+        gnn_embedding(method, args)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    config_dict = parse_json_args(args.config[0])
+
+    if args.task == "preprocessing":
+        if args.method is None:
+            raise AttributeError(
+                "method parameter is needed for the preprocessing task!")
+        preprocessing_task(args.method, config_dict[args.task])
+    elif args.task == "embedding":
+        if args.method is None:
+            raise AttributeError(
+                "method parameter is needed for the embedding task!")
+        embedding_task(args.method, config_dict[args.task][args.method])
+    elif args.task == "link_pred":
+        from ctgcn_tpu.evaluation.link_prediction import link_prediction
+
+        link_prediction(config_dict[args.task])
+    elif args.task == "node_cls":
+        from ctgcn_tpu.evaluation.node_classification import node_classification
+
+        node_classification(config_dict[args.task])
+    elif args.task == "edge_cls":
+        from ctgcn_tpu.evaluation.edge_classification import edge_classification
+
+        edge_classification(config_dict[args.task])
+    elif args.task == "cent_pred":
+        from ctgcn_tpu.evaluation.centrality_prediction import (
+            centrality_prediction,
+        )
+
+        centrality_prediction(config_dict[args.task])
+    elif args.task == "sim_pred":
+        from ctgcn_tpu.evaluation.similarity_prediction import (
+            similarity_prediction,
+        )
+
+        similarity_prediction(config_dict[args.task])
+    else:
+        raise AttributeError(f"Unsupported task {args.task!r}!")
+
+
+if __name__ == "__main__":
+    main()

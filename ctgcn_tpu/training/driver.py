@@ -1,0 +1,528 @@
+# coding: utf-8
+"""Embedding-task driver (reference train.py re-designed).
+
+Builds per-window inputs, model, loss closures and runs the training window
+loop.  Parity surface:
+  * per-method normalization policy (reference train.py:53-58)
+  * core methods consume the k-core pyramid bank (train.py:64-65)
+  * degree features for EvolveGCN / CGCN-S / CTGCN-S (train.py:70-74)
+  * window loop ``range(start_idx, end_idx, step)`` with the S-link-dy
+    ``step = duration - 1`` / ``end_idx -= 1`` adjustment (train.py:253-263)
+  * optional per-window time recording to ``<method>_time.csv``
+    (train.py:297-300)
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from ctgcn_tpu.data.loader import DataLoader
+from ctgcn_tpu import losses as L
+from ctgcn_tpu.nn import CGCN, CTGCN, MLPClassifier, EdgeClassifier, inner_product
+from ctgcn_tpu.nn.gcn import GCN, GCRN
+from ctgcn_tpu.training.engine import SupervisedEmbedding, UnsupervisedEmbedding
+from ctgcn_tpu.utils import (
+    get_core_based_methods, get_neg_edge_samples, get_supported_gnn_methods,
+)
+
+
+# ---------------------------------------------------------------------------
+# data loading
+# ---------------------------------------------------------------------------
+
+def get_data_loader(args):
+    base_path = args["base_path"]
+    origin_folder = args["origin_folder"]
+    core_folder = args.get("core_folder", None)
+    nfeature_folder = args.get("nfeature_folder", None)
+    node_file = args["node_file"]
+
+    node_path = os.path.abspath(os.path.join(base_path, node_file))
+    nodes_set = pd.read_csv(node_path, names=["node"])
+    node_list = nodes_set["node"].tolist()
+
+    origin_base_path = (os.path.abspath(os.path.join(base_path, origin_folder))
+                        if origin_folder else None)
+    core_base_path = (os.path.abspath(os.path.join(base_path, core_folder))
+                      if core_folder else None)
+    nfeature_path = (os.path.abspath(os.path.join(base_path, nfeature_folder))
+                     if nfeature_folder else None)
+    max_time_num = len(os.listdir(origin_base_path or core_base_path))
+    assert max_time_num > 0
+
+    args["origin_base_path"] = origin_base_path
+    args["core_base_path"] = core_base_path
+    args["nfeature_path"] = nfeature_path
+    args["node_num"] = len(node_list)
+    return DataLoader(node_list, max_time_num)
+
+
+def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
+    """Per-window inputs: (input_dim, adjs-or-pyramids, xs, edge_list)."""
+    assert method in get_supported_gnn_methods()
+    origin_base_path = args["origin_base_path"]
+    core_base_path = args["core_base_path"]
+    nfeature_path = args["nfeature_path"]
+    file_sep = args.get("file_sep", "\t")
+
+    if method in ("GCN", "GAT", "GCRN"):
+        normalize, row_norm, add_eye = True, True, True
+    elif method == "EvolveGCN":
+        normalize, row_norm, add_eye = True, False, True
+    else:
+        normalize, row_norm, add_eye = False, False, False
+
+    edge_list = data_loader.get_edge_list(origin_base_path, idx, time_length,
+                                          sep=file_sep)
+    if method in get_core_based_methods():
+        adjs = data_loader.get_core_adj_list(core_base_path, idx, time_length,
+                                             max_core=args["max_core"])
+    else:
+        adjs = data_loader.get_date_adj_list(
+            origin_base_path, idx, time_length, sep=file_sep,
+            normalize=normalize, row_norm=row_norm, add_eye=add_eye)
+
+    if method in ("EvolveGCN", "CGCN-S", "CTGCN-S") and nfeature_path is None:
+        xs, input_dim = data_loader.get_degree_feature_list(
+            origin_base_path, idx, time_length, sep=file_sep,
+            init_type=args["init_type"], std=args.get("std", 1e-4))
+    else:
+        xs, input_dim = data_loader.get_feature_list(nfeature_path, idx,
+                                                     time_length, sep=file_sep)
+    return input_dim, adjs, xs, edge_list
+
+
+# ---------------------------------------------------------------------------
+# model factory
+# ---------------------------------------------------------------------------
+
+def get_gnn_model(method, time_length, args, key):
+    assert method in get_supported_gnn_methods()
+    input_dim = args["input_dim"]
+    hidden_dim = args["hid_dim"]
+    embed_dim = args["embed_dim"]
+    dropout = args.get("dropout", 0.0)
+    bias = args.get("bias", True)
+
+    if method in ("GCN", "TgGCN"):
+        return GCN.init(key, input_dim, hidden_dim, embed_dim,
+                        dropout=dropout, bias=bias)
+    if method == "GCRN":
+        rnn_type = args.get("rnn_type", "GRU")
+        return GCRN.init(key, input_dim, hidden_dim, embed_dim,
+                         duration=time_length, dropout=dropout, bias=bias,
+                         rnn_type=rnn_type)
+    if method in ("GAT", "TgGAT"):
+        from ctgcn_tpu.nn.gat import GAT
+        return GAT.init(key, input_dim, hidden_dim, embed_dim,
+                        dropout=dropout, alpha=args.get("alpha", 0.2),
+                        head_num=args.get("head_num", 1))
+    if method in ("SAGE", "TgSAGE"):
+        from ctgcn_tpu.nn.sage import SAGE
+        return SAGE.init(key, input_dim, hidden_dim, embed_dim,
+                         num_sample=args.get("num_sample", 5),
+                         pooling_type=args.get("pooling_type", "sum"),
+                         dropout=dropout, bias=bias)
+    if method in ("GIN", "TgGIN"):
+        from ctgcn_tpu.nn.gin import GIN
+        return GIN.init(key, input_dim, hidden_dim, embed_dim,
+                        layer_num=args.get("layer_num", 2),
+                        mlp_layer_num=args.get("mlp_layer_num", 2),
+                        learn_eps=args.get("learn_eps", True),
+                        dropout=dropout, bias=bias)
+    if method == "PGNN":
+        from ctgcn_tpu.nn.pgnn import PGNN
+        return PGNN.init(key, input_dim, args.get("feature_dim", hidden_dim),
+                         hidden_dim, embed_dim,
+                         feature_pre=args.get("feature_pre", True),
+                         layer_num=args.get("layer_num", 2), dropout=dropout,
+                         bias=bias)
+    if method == "EvolveGCN":
+        from ctgcn_tpu.nn.egcn import EvolveGCN
+        return EvolveGCN.init(key, input_dim, hidden_dim, embed_dim,
+                              egcn_type=args.get("model_type", "EGCNH"))
+    if method == "VGRNN":
+        from ctgcn_tpu.nn.vgrnn import VGRNN
+        return VGRNN.init(key, input_dim, hidden_dim, embed_dim,
+                          conv_type=args.get("conv_type", "GCN"),
+                          bias=bias)
+    # core-based methods
+    trans_num = args["trans_layer_num"]
+    diffusion_num = args["diffusion_layer_num"]
+    model_type = args["model_type"]
+    rnn_type = args.get("rnn_type", "GRU")
+    trans_activate_type = args.get("trans_activate_type", "L")
+    if method in ("CGCN-C", "CGCN-S"):
+        return CGCN.init(key, input_dim, hidden_dim, embed_dim,
+                         trans_num=trans_num, diffusion_num=diffusion_num,
+                         bias=bias, rnn_type=rnn_type, model_type=model_type,
+                         trans_activate_type=trans_activate_type)
+    return CTGCN.init(key, input_dim, hidden_dim, embed_dim,
+                      trans_num=trans_num, diffusion_num=diffusion_num,
+                      duration=time_length, bias=bias, rnn_type=rnn_type,
+                      model_type=model_type,
+                      trans_activate_type=trans_activate_type)
+
+
+def make_forward(method, adjs, xs, edge_index=None):
+    """(model, key) -> embs [T, N, d] (plus trans for S-variants)."""
+    if method in get_core_based_methods():
+        def fwd(model, key=None):
+            return model(xs, adjs)
+    elif method == "VGRNN":
+        def fwd(model, key=None):
+            return model(xs, edge_index, key=key)
+    else:
+        def fwd(model, key=None):
+            return model(xs, adjs, key)
+    return fwd
+
+
+# ---------------------------------------------------------------------------
+# supervised split generation (reference embedding.py:99-191)
+# ---------------------------------------------------------------------------
+
+def _pad_stack(arr_list, pad_shape_tail, dtype):
+    """Stack variable-length per-timestamp arrays into [T, B, ...] + mask."""
+    T = len(arr_list)
+    B = max((a.shape[0] for a in arr_list), default=1)
+    B = max(B, 1)
+    out = np.zeros((T, B) + pad_shape_tail, dtype=dtype)
+    mask = np.zeros((T, B), bool)
+    for t, a in enumerate(arr_list):
+        out[t, :a.shape[0]] = a
+        mask[t, :a.shape[0]] = True
+    return out, mask
+
+
+def build_label_splits(label_list, train_ratio, val_ratio, test_ratio,
+                       is_edge=False):
+    """S-node / S-edge contiguous splits (reference embedding.py:111-142)."""
+    splits = {"train": ([], []), "val": ([], []), "test": ([], [])}
+    for labels in label_list:
+        item_num = labels.shape[0]
+        tr = int(np.floor(item_num * train_ratio))
+        va = int(np.floor(item_num * val_ratio))
+        te = int(np.floor(item_num * test_ratio))
+        segs = {"train": labels[:tr], "val": labels[tr:tr + va],
+                "test": labels[tr + va:tr + va + te]}
+        for name, seg in segs.items():
+            if is_edge:
+                splits[name][0].append(seg[:, :2])
+                splits[name][1].append(seg[:, 2])
+            else:
+                splits[name][0].append(seg[:, 0])
+                splits[name][1].append(seg[:, 1])
+    out = {}
+    for name, (items, labels) in splits.items():
+        tail = (2,) if is_edge else ()
+        idx, mask = _pad_stack(items, tail, np.int32)
+        lab, _ = _pad_stack(labels, (), np.int64)
+        out[name] = (jnp.asarray(idx), jnp.asarray(lab), jnp.asarray(mask))
+    return out
+
+
+def build_link_splits(edge_list, node_num, train_ratio, val_ratio, test_ratio,
+                      learning_type):
+    """S-link-st / S-link-dy edge splits with negative sampling
+    (reference embedding.py:144-191); dy starts at t=1."""
+    start = 1 if learning_type == "S-link-dy" else 0
+    splits = {"train": ([], []), "val": ([], []), "test": ([], [])}
+    for t in range(start, len(edge_list)):
+        edges = edge_list[t].T  # [E, 2]
+        all_edge_dict = {(int(u), int(v)): 1 for u, v in edges}
+        for nid in range(node_num):
+            all_edge_dict.pop((nid, nid), None)
+        edges = edges.copy()
+        np.random.shuffle(edges)
+        E = edges.shape[0]
+        tr = int(np.floor(E * train_ratio))
+        va = int(np.floor(E * val_ratio))
+        te = int(np.floor(E * test_ratio))
+        segs = {"train": edges[:tr], "val": edges[tr:tr + va],
+                "test": edges[tr + va:tr + va + te]}
+        for name, pos in segs.items():
+            n_pos = pos.shape[0]
+            both = get_neg_edge_samples(pos, n_pos, all_edge_dict, node_num,
+                                        add_label=False)
+            labels = np.concatenate([np.ones(n_pos), np.zeros(n_pos)])
+            splits[name][0].append(both.astype(np.int64))
+            splits[name][1].append(labels)
+    out = {}
+    for name, (items, labels) in splits.items():
+        idx, mask = _pad_stack(items, (2,), np.int32)
+        lab, _ = _pad_stack(labels, (), np.float32)
+        out[name] = (jnp.asarray(idx), jnp.asarray(lab), jnp.asarray(mask))
+    return out
+
+
+def _binary_auc(preds, labels, mask):
+    from sklearn.metrics import roc_auc_score
+
+    p = np.asarray(jax.nn.sigmoid(preds)).reshape(-1)
+    y = np.asarray(labels).reshape(-1)
+    m = np.asarray(mask).reshape(-1)
+    try:
+        return float(roc_auc_score(y[m], p[m]))
+    except ValueError:
+        return float("nan")
+
+
+def _multiclass_auc(preds, labels, mask, n_class):
+    from sklearn.metrics import roc_auc_score
+    from sklearn.preprocessing import label_binarize
+
+    p = jax.nn.softmax(jnp.asarray(preds), axis=-1)
+    p = np.asarray(p).reshape(-1, p.shape[-1])
+    y = np.asarray(labels).reshape(-1)
+    m = np.asarray(mask).reshape(-1)
+    try:
+        return float(roc_auc_score(
+            label_binarize(y[m], classes=np.arange(n_class)), p[m],
+            multi_class="ovr", average="micro"))
+    except ValueError:
+        return float("nan")
+
+
+# ---------------------------------------------------------------------------
+# the window loop
+# ---------------------------------------------------------------------------
+
+def gnn_embedding(method, args):
+    base_path = args["base_path"]
+    origin_folder = args["origin_folder"]
+    embedding_folder = args["embed_folder"]
+    model_folder = args.get("model_folder", "model")
+    model_file = args.get("model_file", method.lower())
+    start_idx = args["start_idx"]
+    end_idx = args["end_idx"]
+    duration = args["duration"]
+    learning_type = args["learning_type"]
+    epoch = args["epoch"]
+    lr = args["lr"]
+    batch_size = args["batch_size"]
+    load_model = args.get("load_model", False)
+    shuffle = args.get("shuffle", True)
+    export = args.get("export", True)
+    record_time = args.get("record_time", False)
+    weight_decay = args.get("weight_decay", 0.0)
+    seed = args.get("seed", 0)
+
+    data_loader = get_data_loader(args)
+    max_time_num = data_loader.max_time_num
+    node_list = data_loader.full_node_list
+
+    if start_idx < 0:
+        start_idx = max_time_num + start_idx
+    if end_idx < 0:
+        end_idx = max_time_num + end_idx + 1
+    else:
+        end_idx = end_idx + 1
+    step = duration
+    if learning_type == "S-link-dy":
+        assert duration >= 2 and end_idx - start_idx >= 1
+        end_idx = end_idx - 1
+        step = duration - 1
+
+    t_start = time.time()
+    time_list = []
+    print(f"start_idx = {start_idx}, end_idx = {end_idx}, "
+          f"duration = {duration}")
+    print(f"start {method} embedding! (ctgcn_tpu)")
+    key = jax.random.key(seed)
+    for widx, idx in enumerate(range(start_idx, end_idx, step)):
+        print(f"idx = {idx}, duration = {duration}")
+        time_length = min(idx + duration, end_idx) - idx
+        input_dim, adjs, xs, edge_list = get_input_data(
+            method, idx, time_length, data_loader, args)
+        args["input_dim"] = input_dim
+        key, k_model = jax.random.split(key)
+        model = get_gnn_model(method, time_length, args, k_model)
+        fwd = make_forward(method, adjs, xs)
+        cost = _run_window(method, model, fwd, data_loader, args, idx,
+                           time_length, edge_list, learning_type, base_path,
+                           origin_folder, embedding_folder, node_list,
+                           model_folder, model_file, epoch, batch_size, lr,
+                           weight_decay, load_model, shuffle, export,
+                           seed + widx)
+        time_list.append(cost)
+
+    if record_time:
+        pd.DataFrame({"time": time_list}).to_csv(
+            os.path.join(base_path, method + "_time.csv"), sep=",",
+            index=False)
+    print(f"finish {method} embedding! cost time: "
+          f"{time.time() - t_start} seconds!")
+
+
+def _run_window(method, model, fwd, data_loader, args, idx, time_length,
+                edge_list, learning_type, base_path, origin_folder,
+                embedding_folder, node_list, model_folder, model_file, epoch,
+                batch_size, lr, weight_decay, load_model, shuffle, export,
+                seed):
+    is_s_variant = method in ("CGCN-S", "CTGCN-S")
+
+    if learning_type in ("U-neg", "U-own"):
+        if learning_type == "U-neg":
+            walk = data_loader.get_walk_data(
+                os.path.abspath(os.path.join(base_path,
+                                             args["walk_pair_folder"])),
+                os.path.abspath(os.path.join(base_path,
+                                             args["node_freq_folder"])),
+                idx, time_length)
+            neg_num = args["neg_num"]
+            Q = args["Q"]
+
+            def loss_fn(m, b_idx, b_mask, k):
+                k_drop, k_samp = jax.random.split(k)
+                res = fwd(m, k_drop)
+                embs = res[0] if is_s_variant else res
+                return L.negative_sampling_loss(embs, b_idx, b_mask, walk,
+                                                k_samp, neg_num=neg_num, Q=Q)
+        else:  # U-own: reconstruction loss for CGCN-S/CTGCN-S
+            assert is_s_variant, (
+                f"U-own is only defined for S-variants, got {method}")
+
+            def loss_fn(m, b_idx, b_mask, k):
+                embs, trans = fwd(m, k)
+                return L.reconstruction_loss(embs, trans, b_idx, b_mask)
+
+        def embed_fn(m):
+            res = fwd(m, None)
+            # S-variants export the structure embedding (embedding.py:320-321)
+            return res[1] if is_s_variant else res
+
+        trainer = UnsupervisedEmbedding(
+            base_path=base_path, origin_folder=origin_folder,
+            embedding_folder=embedding_folder, node_list=node_list,
+            model=model, loss_fn=loss_fn, embed_fn=embed_fn,
+            model_folder=model_folder)
+        return trainer.learn_embedding(
+            epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
+            weight_decay=weight_decay, model_file=model_file,
+            load_model=load_model, shuffle=shuffle, export=export, seed=seed)
+
+    # ------------------------------------------------------------------
+    # supervised learning types
+    # ------------------------------------------------------------------
+    embed_dim = args["embed_dim"]
+    cls_hidden = args.get("cls_hid_dim", embed_dim)
+    cls_layer_num = args.get("cls_layer_num", 1)
+    cls_bias = args.get("cls_bias", True)
+    cls_activate = args.get("cls_activate_type", "N")
+    train_ratio = args["train_ratio"]
+    val_ratio = args["val_ratio"]
+    test_ratio = args["test_ratio"]
+    file_sep = args.get("file_sep", "\t")
+    key = jax.random.key(seed + 1000)
+
+    drop_last = learning_type == "S-link-dy"
+
+    if learning_type == "S-node":
+        nlabel_path = os.path.abspath(
+            os.path.join(base_path, args["nlabel_folder"]))
+        node_labels, n_class = data_loader.get_node_label_list(
+            nlabel_path, idx, time_length, sep=file_sep)
+        classifier = MLPClassifier.init(key, embed_dim, cls_hidden, n_class,
+                                        cls_layer_num, bias=cls_bias,
+                                        activate_type=cls_activate)
+        splits = build_label_splits(node_labels, train_ratio, val_ratio,
+                                    test_ratio, is_edge=False)
+
+        def forward_fn(models, items, k):
+            m, cls = models
+            res = fwd(m, k)
+            embs = res[0] if is_s_variant else res
+            preds = jax.vmap(lambda e, i: cls.mlp(e[i]))(embs, items)
+            return preds, embs, (res[1] if is_s_variant else None)
+
+        def loss_fn(preds, labels, mask, aux):
+            loss, acc = L.classification_loss(preds, labels, n_class,
+                                              mask=mask)
+            return loss, acc
+
+        auc_fn = lambda p, y, m: _multiclass_auc(p, y, m, n_class)
+    elif learning_type == "S-edge":
+        elabel_path = os.path.abspath(
+            os.path.join(base_path, args["elabel_folder"]))
+        edge_labels, n_class = data_loader.get_edge_label_list(
+            elabel_path, idx, time_length, sep=file_sep)
+        classifier = EdgeClassifier.init(key, embed_dim, cls_hidden, n_class,
+                                         cls_layer_num, bias=cls_bias,
+                                         activate_type=cls_activate)
+        splits = build_label_splits(edge_labels, train_ratio, val_ratio,
+                                    test_ratio, is_edge=True)
+
+        def forward_fn(models, items, k):
+            m, cls = models
+            res = fwd(m, k)
+            embs = res[0] if is_s_variant else res
+            # items: [T, B, 2] edge endpoints
+            def per_t(e, it):
+                feats = e[it[:, 0]] * e[it[:, 1]]
+                return cls.classifier.mlp(feats)
+            preds = jax.vmap(per_t)(embs, items)
+            return preds, embs, (res[1] if is_s_variant else None)
+
+        def loss_fn(preds, labels, mask, aux):
+            return L.classification_loss(preds, labels, n_class, mask=mask)
+
+        auc_fn = lambda p, y, m: _multiclass_auc(p, y, m, n_class)
+    else:  # S-link-st / S-link-dy
+        classifier = None
+        n_class = 2
+        splits = build_link_splits(edge_list, data_loader.node_num,
+                                   train_ratio, val_ratio, test_ratio,
+                                   learning_type)
+
+        def forward_fn(models, items, k):
+            m, _ = models
+            res = fwd(m, k)
+            embs = res[0] if is_s_variant else res
+            used = embs[:-1] if drop_last else embs
+            def per_t(e, it):
+                return jnp.sum(e[it[:, 0]] * e[it[:, 1]], axis=-1)
+            preds = jax.vmap(per_t)(used, items)
+            return preds, embs, (res[1] if is_s_variant else None)
+
+        def loss_fn(preds, labels, mask, aux):
+            return L.classification_loss(preds, labels, n_class, mask=mask)
+
+        auc_fn = _binary_auc
+
+    if is_s_variant:
+        base_loss = loss_fn
+
+        def loss_fn(preds, labels, mask, aux):  # noqa: F811
+            # StructureClassificationLoss (reference metrics.py:214-229):
+            # reconstruction (all rows) + classification
+            loss, acc = base_loss(preds, labels, mask, None)
+            embs, trans = aux
+            return loss + L.reconstruction_loss(embs, trans), acc
+
+        inner_forward = forward_fn
+
+        def forward_fn(models, items, k):  # noqa: F811
+            preds, embs, trans = inner_forward(models, items, k)
+            return preds, embs, (embs, trans)
+
+    def embed_fn(models):
+        res = fwd(models[0], None)
+        return res[1] if is_s_variant else res
+
+    trainer = SupervisedEmbedding(
+        base_path=base_path, origin_folder=origin_folder,
+        embedding_folder=embedding_folder, node_list=node_list, model=model,
+        classifier=classifier, forward_fn=forward_fn, loss_fn=loss_fn,
+        embed_fn=embed_fn, auc_fn=auc_fn, model_folder=model_folder)
+    tr, va, te = splits["train"], splits["val"], splits["test"]
+    return trainer.learn_embedding(
+        tr[0], tr[1], tr[2], va[0], va[1], va[2], te[0], te[1], te[2],
+        epoch=epoch, lr=lr, start_idx=idx, weight_decay=weight_decay,
+        model_file=model_file, classifier_file=args.get("cls_file", None),
+        load_model=load_model, export=export, seed=seed)

@@ -1,0 +1,281 @@
+# coding: utf-8
+"""Training engines (reference embedding.py re-designed around jit).
+
+The reference's epoch×batch Python loop with per-batch ``backward`` and one
+optimizer step per epoch (gradient accumulation, reference
+embedding.py:340-355) becomes ONE jitted call per epoch: a ``lax.scan`` over
+a padded [batch_num, batch_size] node-index matrix accumulating gradient
+pytrees, followed by a single optimizer update.  Whole-graph forwards happen
+inside the scan exactly as in the reference (each batch re-runs the model and
+subsets the loss rows).
+
+Optimizer parity: torch.optim.Adam with ``weight_decay`` adds L2 to the
+gradient *before* the moment updates — optax.chain(add_decayed_weights,
+scale_by_adam, scale(-lr)), not adamw.
+
+Checkpointing: flax.serialization msgpack of the parameter pytree (the
+torch.save(state_dict) analogue, reference embedding.py:50-71, 363-364).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pandas as pd
+from flax import serialization
+
+from ctgcn_tpu.utils import check_and_make_path
+
+
+def make_optimizer(lr, weight_decay=0.0):
+    if weight_decay:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale(-lr),
+        )
+    return optax.chain(optax.scale_by_adam(), optax.scale(-lr))
+
+
+def save_params(params, path):
+    check_and_make_path(os.path.dirname(path))
+    with open(path, "wb") as fp:
+        fp.write(serialization.to_bytes(params))
+
+
+def load_params(template, path):
+    with open(path, "rb") as fp:
+        return serialization.from_bytes(template, fp.read())
+
+
+def batch_matrix(node_num, batch_size, key=None, shuffle=True):
+    """Split node ids into a padded [batch_num, batch_size] matrix + mask."""
+    order = np.arange(node_num)
+    if shuffle:
+        assert key is not None
+        order = np.asarray(jax.random.permutation(key, node_num))
+    batch_num = -(-node_num // batch_size)
+    padded = np.zeros(batch_num * batch_size, np.int32)
+    mask = np.zeros(batch_num * batch_size, bool)
+    padded[:node_num] = order
+    mask[:node_num] = True
+    return (padded.reshape(batch_num, batch_size),
+            mask.reshape(batch_num, batch_size))
+
+
+class BaseEmbedding:
+    """Paths + embedding CSV export (reference embedding.py:13-89)."""
+
+    def __init__(self, base_path, origin_folder, embedding_folder, node_list,
+                 model, model_folder="model", file_sep="\t"):
+        self.base_path = base_path
+        self.origin_base_path = os.path.abspath(
+            os.path.join(base_path, origin_folder))
+        self.embedding_base_path = os.path.abspath(
+            os.path.join(base_path, embedding_folder))
+        self.model_base_path = os.path.abspath(
+            os.path.join(base_path, model_folder))
+        self.model = model
+        self.file_sep = file_sep
+        self.full_node_list = node_list
+        self.node_num = len(node_list)
+        self.timestamp_list = sorted(os.listdir(self.origin_base_path))
+        check_and_make_path(self.embedding_base_path)
+        check_and_make_path(self.model_base_path)
+
+    def save_embedding(self, output, start_idx):
+        """output: [T, N, d] (or [N, d]) → per-timestamp CSV named after the
+        snapshot file, node names as the index (embedding.py:79-89)."""
+        arr = np.asarray(output)
+        if arr.ndim == 2:
+            arr = arr[None]
+        for i in range(arr.shape[0]):
+            timestamp = self.timestamp_list[start_idx + i].split(".")[0]
+            df = pd.DataFrame(data=arr[i], index=self.full_node_list)
+            df.to_csv(os.path.join(self.embedding_base_path,
+                                   timestamp + ".csv"),
+                      sep=self.file_sep, header=True, index=True)
+
+
+class UnsupervisedEmbedding(BaseEmbedding):
+    """U-neg / U-own trainer (reference embedding.py:294-368).
+
+    Args:
+      loss_fn: (model, batch_idx[B], batch_mask[B], key) -> scalar loss,
+        closing over the window's inputs (adj/pyramids/walk data).
+      embed_fn: (model) -> [T, N, d] embeddings for export.
+    """
+
+    def __init__(self, base_path, origin_folder, embedding_folder, node_list,
+                 model, loss_fn, embed_fn, model_folder="model"):
+        super().__init__(base_path, origin_folder, embedding_folder,
+                         node_list, model, model_folder=model_folder)
+        self.loss_fn = loss_fn
+        self.embed_fn = embed_fn
+
+    def learn_embedding(self, epoch=50, batch_size=1024, lr=1e-3,
+                        start_idx=0, weight_decay=0.0, model_file="ctgcn",
+                        load_model=False, shuffle=True, export=True, seed=0,
+                        verbose=True):
+        model = self.model
+        model_path = os.path.join(self.model_base_path, model_file or "")
+        if load_model and model_file and os.path.exists(model_path):
+            model = load_params(model, model_path)
+
+        optimizer = make_optimizer(lr, weight_decay)
+        opt_state = optimizer.init(model)
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def epoch_step(model, opt_state, batches, masks, key):
+            n_batches = batches.shape[0]
+            keys = jax.random.split(key, n_batches)
+
+            def body(grads_loss, inp):
+                grads_acc, loss_acc = grads_loss
+                b_idx, b_mask, k = inp
+                loss, grads = jax.value_and_grad(loss_fn)(model, b_idx,
+                                                          b_mask, k)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), loss
+
+            zero_grads = jax.tree.map(jnp.zeros_like, model)
+            (grads, total_loss), _ = jax.lax.scan(
+                body, (zero_grads, 0.0), (batches, masks, keys))
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return model, opt_state, total_loss
+
+        rng = jax.random.key(seed)
+        st = time.time()
+        for i in range(epoch):
+            rng, k_perm, k_loss = jax.random.split(rng, 3)
+            batches, masks = batch_matrix(self.node_num, batch_size,
+                                          key=k_perm, shuffle=shuffle)
+            model, opt_state, total_loss = epoch_step(
+                model, opt_state, jnp.asarray(batches), jnp.asarray(masks),
+                k_loss)
+            if verbose:
+                print(f"epoch {i + 1}, loss: {float(total_loss):.6f}, "
+                      f"cost time: {time.time() - st:.3f}s")
+        cost_time = time.time() - st
+
+        if export:
+            output = self.embed_fn(model)
+            self.save_embedding(output, start_idx)
+        if model_file:
+            save_params(model, model_path)
+        self.model = model
+        return cost_time
+
+
+class SupervisedEmbedding(BaseEmbedding):
+    """S-node / S-edge / S-link trainer (reference embedding.py:93-290).
+
+    Args:
+      forward_fn: (models, idx[T, B, ...], key) -> (preds, embs, aux) where
+        ``models`` is the (model, classifier) pair; idx layout depends on the
+        learning type (node rows or edge pairs).
+      loss_fn: (preds, labels, mask, aux) -> (loss, acc) on device.
+      auc_fn: optional host-side (preds, labels, mask) -> float.
+      embed_fn: (models) -> output to export.
+    """
+
+    def __init__(self, base_path, origin_folder, embedding_folder, node_list,
+                 model, classifier, forward_fn, loss_fn, embed_fn,
+                 auc_fn=None, model_folder="model"):
+        super().__init__(base_path, origin_folder, embedding_folder,
+                         node_list, model, model_folder=model_folder)
+        self.classifier = classifier
+        self.forward_fn = forward_fn
+        self.loss_fn = loss_fn
+        self.embed_fn = embed_fn
+        self.auc_fn = auc_fn
+
+    def learn_embedding(self, idx_train, label_train, mask_train, idx_val,
+                        label_val, mask_val, idx_test, label_test, mask_test,
+                        epoch=50, lr=1e-3, start_idx=0, weight_decay=0.0,
+                        model_file="ctgcn", classifier_file="ctgcn_cls",
+                        load_model=False, export=True, seed=0, verbose=True):
+        models = (self.model, self.classifier)
+        model_path = os.path.join(self.model_base_path, model_file or "")
+        cls_path = os.path.join(self.model_base_path, classifier_file or "")
+        if load_model and model_file and os.path.exists(model_path):
+            m = load_params(models[0], model_path)
+            c = models[1]
+            if classifier_file and os.path.exists(cls_path):
+                c = load_params(models[1], cls_path)
+            models = (m, c)
+
+        optimizer = make_optimizer(lr, weight_decay)
+        opt_state = optimizer.init(models)
+        forward_fn, loss_fn = self.forward_fn, self.loss_fn
+
+        @jax.jit
+        def train_step(models, opt_state, idx, labels, mask, key):
+            def objective(models):
+                preds, embs, aux = forward_fn(models, idx, key)
+                loss, acc = loss_fn(preds, labels, mask, aux)
+                return loss, (acc, preds)
+
+            (loss, (acc, preds)), grads = jax.value_and_grad(
+                objective, has_aux=True)(models)
+            updates, opt_state = optimizer.update(grads, opt_state, models)
+            models = optax.apply_updates(models, updates)
+            return models, opt_state, loss, acc, preds
+
+        @jax.jit
+        def eval_step(models, idx, labels, mask):
+            preds, embs, aux = forward_fn(models, idx, None)
+            loss, acc = loss_fn(preds, labels, mask, aux)
+            return loss, acc, preds
+
+        rng = jax.random.key(seed)
+        best_acc, best_models = -1.0, models
+        st = time.time()
+        for i in range(epoch):
+            rng, k = jax.random.split(rng)
+            models, opt_state, loss_tr, acc_tr, _ = train_step(
+                models, opt_state, idx_train, label_train, mask_train, k)
+            if i == 0:
+                if verbose:
+                    print(f"Epoch: 1 loss_train: {float(loss_tr):.4f}")
+                continue
+            loss_val, acc_val, preds_val = eval_step(models, idx_val,
+                                                     label_val, mask_val)
+            if verbose:
+                msg = (f"Epoch: {i + 1} loss_train: {float(loss_tr):.4f} "
+                       f"acc_train: {float(acc_tr):.4f} "
+                       f"loss_val: {float(loss_val):.4f} "
+                       f"acc_val: {float(acc_val):.4f}")
+                if self.auc_fn is not None:
+                    msg += (" auc_val: "
+                            f"{self.auc_fn(preds_val, label_val, mask_val):.4f}")
+                print(msg)
+            # keep the best-on-val model (reference embedding.py:259-265)
+            if float(acc_val) > best_acc:
+                best_acc = float(acc_val)
+                best_models = models
+                if model_file:
+                    save_params(models[0], model_path)
+                if classifier_file:
+                    save_params(models[1], cls_path)
+
+        models = best_models
+        loss_te, acc_te, preds_te = eval_step(models, idx_test, label_test,
+                                              mask_test)
+        auc_te = (self.auc_fn(preds_te, label_test, mask_test)
+                  if self.auc_fn is not None else float("nan"))
+        print(f"Test set results: loss= {float(loss_te):.4f} "
+              f"accuracy= {float(acc_te):.4f} auc= {auc_te:.4f}")
+        cost_time = time.time() - st
+
+        if export:
+            output = self.embed_fn(models)
+            self.save_embedding(output, start_idx)
+        self.model, self.classifier = models
+        return cost_time

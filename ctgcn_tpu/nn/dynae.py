@@ -1,0 +1,439 @@
+# coding: utf-8
+"""DynGEM / DynAE / DynRNN / DynAERNN — dense autoencoder family, TPU-native.
+
+Covers reference baseline/dynAE.py, dynGEM.py, dynRNN.py, dynAERNN.py
+(dyngraph2vec + DynGEM).  The reference's per-record python densification of
+lil rows (baseline/dynAE.py:158-196, the training hot spot) becomes a single
+dense [W, N, N] window tensor on device with vectorized gathers; each epoch
+is one jitted scan over record batches with gradient accumulation
+(optimizer step at epoch end, matching dynAE.py:306-312).
+
+Quirk preserved: the reference draws a FRESH shuffle before every batch and
+takes its head (dynAE.py:303-305 creates a new generator per step), i.e.
+batches are independent uniform samples without replacement — reproduced
+with per-step ``jax.random.choice(replace=False)``.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pandas as pd
+from flax import struct
+
+from ctgcn_tpu.nn.layers import Linear
+from ctgcn_tpu.ops.rnn import LSTMCell, rnn_scan
+from ctgcn_tpu.training.engine import (
+    BaseEmbedding, load_params, make_optimizer, save_params,
+)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class ReluMLP:
+    """MLP with ReLU after EVERY layer including the last
+    (reference dynAE.py:23-49)."""
+
+    layers: tuple
+
+    @staticmethod
+    def init(key, input_dim, output_dim, n_units, bias=True):
+        dims = [input_dim] + list(n_units) + [output_dim]
+        keys = jax.random.split(key, len(dims) - 1)
+        return ReluMLP(layers=tuple(
+            Linear.init(keys[i], dims[i], dims[i + 1], bias)
+            for i in range(len(dims) - 1)))
+
+    def __call__(self, x):
+        for lin in self.layers:
+            x = jax.nn.relu(lin(x))
+        return x
+
+
+@struct.dataclass
+class MLLSTM:
+    """Stacked LSTMs, full-sequence in/out; also returns the last step
+    (reference dynRNN.py:13-39)."""
+
+    cells: tuple
+
+    @staticmethod
+    def init(key, input_dim, output_dim, n_units, bias=True):
+        dims = [input_dim] + list(n_units) + [output_dim]
+        keys = jax.random.split(key, len(dims) - 1)
+        return MLLSTM(cells=tuple(
+            LSTMCell.init(keys[i], dims[i], dims[i + 1], bias)
+            for i in range(len(dims) - 1)))
+
+    def __call__(self, x):
+        """x: [B, T, in] → (outputs [B, T, out], last [B, out])."""
+        h = jnp.swapaxes(x, 0, 1)  # [T, B, in]
+        for cell in self.cells:
+            h, _ = rnn_scan(cell, h)
+        out = jnp.swapaxes(h, 0, 1)
+        return out, out[:, -1, :]
+
+
+# ---------------------------------------------------------------------------
+# models
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class DynAE:
+    encoder: ReluMLP
+    decoder: ReluMLP
+    look_back: int = struct.field(pytree_node=False)
+
+    method_name = property(lambda self: "DynAE")
+
+    @staticmethod
+    def init(key, input_dim, output_dim, look_back=3, n_units=(500, 300),
+             bias=True):
+        k1, k2 = jax.random.split(key)
+        return DynAE(
+            encoder=ReluMLP.init(k1, input_dim * look_back, output_dim,
+                                 n_units, bias),
+            decoder=ReluMLP.init(k2, output_dim, input_dim,
+                                 tuple(n_units)[::-1], bias),
+            look_back=look_back)
+
+    def __call__(self, x):
+        """x: [B, look_back * N] → (embedding [B, d], recon [B, N])."""
+        hx = self.encoder(x)
+        return hx, self.decoder(hx)
+
+
+@struct.dataclass
+class DynGEM:
+    encoder: ReluMLP
+    decoder: ReluMLP
+
+    method_name = property(lambda self: "DynGEM")
+
+    @staticmethod
+    def init(key, input_dim, output_dim, n_units=(500, 300), bias=True):
+        k1, k2 = jax.random.split(key)
+        return DynGEM(
+            encoder=ReluMLP.init(k1, input_dim, output_dim, n_units, bias),
+            decoder=ReluMLP.init(k2, output_dim, input_dim,
+                                 tuple(n_units)[::-1], bias))
+
+    def __call__(self, x):
+        hx = self.encoder(x)
+        return hx, self.decoder(hx)
+
+
+@struct.dataclass
+class DynRNN:
+    encoder: MLLSTM
+    decoder: MLLSTM
+    look_back: int = struct.field(pytree_node=False)
+
+    method_name = property(lambda self: "DynRNN")
+
+    @staticmethod
+    def init(key, input_dim, output_dim, look_back=3, n_units=(500, 300),
+             bias=True):
+        k1, k2 = jax.random.split(key)
+        return DynRNN(
+            encoder=MLLSTM.init(k1, input_dim, output_dim, n_units, bias),
+            decoder=MLLSTM.init(k2, output_dim, input_dim,
+                                tuple(n_units)[::-1], bias),
+            look_back=look_back)
+
+    def __call__(self, x):
+        """x: [B, look_back, N]."""
+        output, hx = self.encoder(x)
+        _, x_pred = self.decoder(output)
+        return hx, x_pred
+
+
+@struct.dataclass
+class DynAERNN:
+    ae_encoders: tuple   # per-timestep ReluMLP (reference MTMLP)
+    rnn_encoder: MLLSTM
+    decoder: ReluMLP
+    look_back: int = struct.field(pytree_node=False)
+
+    method_name = property(lambda self: "DynAERNN")
+
+    @staticmethod
+    def init(key, input_dim, output_dim, look_back=3, ae_units=(500, 300),
+             rnn_units=(500,), bias=True):
+        keys = jax.random.split(key, look_back + 2)
+        return DynAERNN(
+            ae_encoders=tuple(
+                ReluMLP.init(keys[i], input_dim, output_dim, ae_units, bias)
+                for i in range(look_back)),
+            rnn_encoder=MLLSTM.init(keys[look_back], output_dim, output_dim,
+                                    rnn_units, bias),
+            decoder=ReluMLP.init(keys[look_back + 1], output_dim, input_dim,
+                                 tuple(ae_units)[::-1], bias),
+            look_back=look_back)
+
+    def __call__(self, x):
+        """x: [B, look_back, N]."""
+        ae_hx = jnp.stack(
+            [mlp(x[:, t, :]) for t, mlp in enumerate(self.ae_encoders)],
+            axis=1)  # [B, lb, d]
+        _, hx = self.rnn_encoder(ae_hx)
+        return hx, self.decoder(hx)
+
+
+# ---------------------------------------------------------------------------
+# losses (reference dynAE.py:80-136, dynGEM.py:40-64)
+# ---------------------------------------------------------------------------
+
+def _weight_leaves(model):
+    leaves = jax.tree_util.tree_leaves(model)
+    return [w for w in leaves if hasattr(w, "ndim") and w.ndim == 2]
+
+
+def regularization_loss(model, nu1, nu2):
+    if nu1 == 0.0 and nu2 == 0.0:
+        return 0.0
+    weights = _weight_leaves(model)
+    n = max(len(weights), 1)
+    l1 = sum(jnp.sum(jnp.abs(w)) for w in weights) if nu1 > 0 else 0.0
+    l2 = (sum(jnp.sqrt(jnp.sum(jnp.square(w))) for w in weights)
+          if nu2 > 0 else 0.0)
+    return nu1 * l1 / n + nu2 * l2 / n
+
+
+def dyngraph2vec_loss(model, x_pred, x_real, penalty, nu1, nu2):
+    recon = jnp.mean(jnp.sum(jnp.square((x_pred - x_real) * penalty), axis=1))
+    return recon + regularization_loss(model, nu1, nu2)
+
+
+def dyngem_loss(model, xi_pred, xi, pen_i, deg_i, xj_pred, xj, pen_j, deg_j,
+                hx_i, hx_j, edge_w, alpha, nu1, nu2):
+    xi_loss = jnp.mean(
+        jnp.sum(jnp.square((xi_pred - xi) * pen_i), axis=1) / deg_i)
+    xj_loss = jnp.mean(
+        jnp.sum(jnp.square((xj_pred - xj) * pen_j), axis=1) / deg_j)
+    hx_loss = jnp.mean(jnp.sum(jnp.square(hx_i - hx_j), axis=1) * edge_w)
+    return (xi_loss + xj_loss + alpha * hx_loss
+            + regularization_loss(model, nu1, nu2))
+
+
+# ---------------------------------------------------------------------------
+# trainer + driver (reference dynAE.py:252-425)
+# ---------------------------------------------------------------------------
+
+class DynamicEmbedding(BaseEmbedding):
+    def __init__(self, base_path, origin_folder, embedding_folder, node_list,
+                 model, model_folder="model"):
+        super().__init__(base_path, origin_folder, embedding_folder,
+                         node_list, model, model_folder=model_folder)
+
+    def learn_embedding(self, dense_window, method, look_back, beta, nu1,
+                        nu2, alpha=0.0, edge_data=None, epoch=50,
+                        batch_size=1024, lr=1e-3, idx=0, weight_decay=0.0,
+                        model_file="dynae", load_model=False, shuffle=True,
+                        export=True, seed=0):
+        """dense_window: [duration, N, N] dense adjacency stack on device.
+
+        For DynGEM, ``edge_data`` = (rows, cols, values) host arrays of the
+        single window snapshot.
+        """
+        model = self.model
+        model_path = os.path.join(self.model_base_path, model_file or "")
+        if load_model and model_file and os.path.exists(model_path):
+            model = load_params(model, model_path)
+
+        optimizer = make_optimizer(lr, weight_decay)
+        opt_state = optimizer.init(model)
+        n = self.node_num
+        W = dense_window.shape[0]
+
+        if method == "DynGEM":
+            rows, cols, values = edge_data
+            element_num = rows.shape[0]
+            graph = dense_window[0]
+            rows, cols = jnp.asarray(rows), jnp.asarray(cols)
+            values = jnp.asarray(values, jnp.float32)
+
+            def batch_loss(m, b_idx):
+                xi = graph[rows[b_idx]]
+                xj = graph[cols[b_idx]]
+                pen_i = jnp.where(xi != 0, beta, 1.0)
+                pen_j = jnp.where(xj != 0, beta, 1.0)
+                deg_i = jnp.sum(xi, axis=1)
+                deg_j = jnp.sum(xj, axis=1)
+                hx_i, xi_pred = m(xi)
+                hx_j, xj_pred = m(xj)
+                return dyngem_loss(m, xi_pred, xi, pen_i, deg_i, xj_pred, xj,
+                                   pen_j, deg_j, hx_i, hx_j, values[b_idx],
+                                   alpha, nu1, nu2)
+        else:
+            train_size = W - look_back
+            assert train_size > 0
+            element_num = n * train_size
+            steps = jnp.arange(look_back)
+
+            def batch_loss(m, b_idx):
+                g = b_idx // n
+                node = b_idx % n
+                x_pre = dense_window[g[:, None] + steps[None, :], node[:, None]]
+                x_cur = dense_window[g + look_back, node]
+                pen = jnp.where(x_cur != 0, beta, 1.0)
+                if method == "DynAE":
+                    x_in = x_pre.reshape(x_pre.shape[0], -1)
+                else:
+                    x_in = x_pre
+                _, x_pred = m(x_in)
+                return dyngraph2vec_loss(m, x_pred, x_cur, pen, nu1, nu2)
+
+        batch_size = min(batch_size, element_num)
+        batch_num = -(-element_num // batch_size)
+
+        @jax.jit
+        def epoch_step(model, opt_state, key):
+            keys = jax.random.split(key, batch_num)
+
+            def body(carry, k):
+                grads_acc, loss_acc = carry
+                b_idx = jax.random.choice(k, element_num, (batch_size,),
+                                          replace=False)
+                loss, grads = jax.value_and_grad(batch_loss)(model, b_idx)
+                return (jax.tree.map(jnp.add, grads_acc, grads),
+                        loss_acc + loss), loss
+
+            zero = jax.tree.map(jnp.zeros_like, model)
+            (grads, total), _ = jax.lax.scan(body, (zero, 0.0), keys)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return model, opt_state, total
+
+        rng = jax.random.key(seed)
+        st = time.time()
+        for i in range(epoch):
+            rng, k = jax.random.split(rng)
+            model, opt_state, total = epoch_step(model, opt_state, k)
+            print(f"epoch {i + 1}, loss: {float(total):.6f}, cost time: "
+                  f"{time.time() - st:.3f}s")
+
+        # prediction: embed every node from the last look_back graphs
+        if method == "DynGEM":
+            emb, _ = model(dense_window[0])
+        else:
+            x_pre = jnp.swapaxes(dense_window[W - look_back:], 0, 1)  # [N,lb,N]
+            if method == "DynAE":
+                emb, _ = model(x_pre.reshape(n, -1))
+            else:
+                emb, _ = model(x_pre)
+        cost_time = time.time() - st
+
+        if export:
+            self.save_embedding(emb, idx)
+        if model_file:
+            save_params(model, model_path)
+        self.model = model
+        return cost_time
+
+
+def dyngem_embedding(method, args):
+    """Driver (reference dynAE.py:331-425): window [idx-duration+1, idx],
+    one embedding CSV per idx."""
+    assert method in ("DynGEM", "DynAE", "DynRNN", "DynAERNN")
+    from ctgcn_tpu.data.loader import DataLoader
+    from ctgcn_tpu.data.formats import read_node_list
+
+    base_path = args["base_path"]
+    origin_folder = args["origin_folder"]
+    embedding_folder = args["embed_folder"]
+    model_folder = args.get("model_folder", "model")
+    model_file = args.get("model_file", method.lower())
+    node_file = args["node_file"]
+    file_sep = args.get("file_sep", "\t")
+    start_idx = args["start_idx"]
+    end_idx = args["end_idx"]
+    duration = args["duration"]
+    embed_dim = args["embed_dim"]
+    epoch = args["epoch"]
+    lr = args["lr"]
+    batch_size = args["batch_size"]
+    load_model = args.get("load_model", False)
+    export = args.get("export", True)
+    record_time = args.get("record_time", False)
+    weight_decay = args.get("weight_decay", 0.0)
+
+    n_units = tuple(args.get("n_units", (500, 300)))
+    ae_units = tuple(args.get("ae_units", (500, 300)))
+    rnn_units = tuple(args.get("rnn_units", (500,)))
+    look_back = args.get("look_back", 0)
+    alpha = args.get("alpha", 0.0)
+    beta = args["beta"]
+    nu1 = args["nu1"]
+    nu2 = args["nu2"]
+    bias = args.get("bias", True)
+
+    origin_base_path = os.path.abspath(os.path.join(base_path, origin_folder))
+    max_time_num = len(os.listdir(origin_base_path))
+    node_list = read_node_list(
+        os.path.abspath(os.path.join(base_path, node_file)))
+    node_num = len(node_list)
+    data_loader = DataLoader(node_list, max_time_num)
+
+    if start_idx < 0:
+        start_idx = max_time_num + start_idx
+    if end_idx < 0:
+        end_idx = max_time_num + end_idx + 1
+    else:
+        end_idx = end_idx + 1
+    if method == "DynGEM":
+        assert duration == 1
+    assert start_idx + 1 - duration >= 0
+    assert duration > look_back
+
+    t1 = time.time()
+    time_list = []
+    key = jax.random.key(args.get("seed", 0))
+    print(f"start {method} embedding! (ctgcn_tpu)")
+    for widx, idx in enumerate(range(start_idx, end_idx)):
+        print("idx =", idx)
+        mats = data_loader.get_scipy_adj_list(
+            origin_base_path, idx - duration + 1, duration, sep=file_sep)
+        dense_window = jnp.asarray(
+            np.stack([m.toarray().astype(np.float32) for m in mats]))
+        key, k_model = jax.random.split(key)
+        if method == "DynGEM":
+            model = DynGEM.init(k_model, node_num, embed_dim, n_units, bias)
+            import scipy.sparse as sp
+            r, c, v = sp.find(mats[0])
+            edge_data = (r, c, v)
+        else:
+            edge_data = None
+            if method == "DynAE":
+                model = DynAE.init(k_model, node_num, embed_dim, look_back,
+                                   n_units, bias)
+            elif method == "DynRNN":
+                model = DynRNN.init(k_model, node_num, embed_dim, look_back,
+                                    n_units, bias)
+            else:
+                model = DynAERNN.init(k_model, node_num, embed_dim,
+                                      look_back, ae_units, rnn_units, bias)
+        trainer = DynamicEmbedding(
+            base_path=base_path, origin_folder=origin_folder,
+            embedding_folder=embedding_folder, node_list=node_list,
+            model=model, model_folder=model_folder)
+        cost = trainer.learn_embedding(
+            dense_window, method, look_back, beta, nu1, nu2, alpha=alpha,
+            edge_data=edge_data, epoch=epoch, batch_size=batch_size, lr=lr,
+            idx=idx, weight_decay=weight_decay, model_file=model_file,
+            load_model=load_model, export=export, seed=widx)
+        time_list.append(cost)
+
+    if record_time:
+        pd.DataFrame({"time": time_list}).to_csv(
+            os.path.join(base_path, method + "_time.csv"), sep=",",
+            index=False)
+    print(f"finish {method} embedding! cost time: {time.time() - t1} "
+          "seconds!")

@@ -79,13 +79,58 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
 
     edge_list = data_loader.get_edge_list(origin_base_path, idx, time_length,
                                           sep=file_sep)
+    neighbor_data = None
     if method in get_core_based_methods():
         adjs = data_loader.get_core_adj_list(core_base_path, idx, time_length,
                                              max_core=args["max_core"])
     else:
+        # GIN aggregates center+neighbors together (+I) when not learn_eps
+        # (reference baseline/gin.py:120-133)
+        gin_add_eye = (method in ("GIN", "TgGIN")
+                       and not args.get("learn_eps", True))
         adjs = data_loader.get_date_adj_list(
             origin_base_path, idx, time_length, sep=file_sep,
-            normalize=normalize, row_norm=row_norm, add_eye=add_eye)
+            normalize=normalize, row_norm=row_norm,
+            add_eye=add_eye or gin_add_eye)
+        if method in ("SAGE", "TgSAGE") or (
+                method in ("GIN", "TgGIN")
+                and args.get("pooling_type", "sum") == "max"):
+            from ctgcn_tpu.ops.neighbors import neighbor_table_from_scipy
+
+            mats = data_loader.get_scipy_adj_list(origin_base_path, idx,
+                                                  time_length, sep=file_sep)
+            neighbor_data = neighbor_table_from_scipy(mats)
+        if method == "PGNN":
+            from ctgcn_tpu.nn.pgnn import precompute_dist_data
+
+            args["_pgnn_dists"] = jnp.asarray(precompute_dist_data(
+                edge_list, data_loader.node_num,
+                approximate=args.get("approximate", -1)))
+        if method == "VGRNN":
+            # model-side adjacency: GCNConv improved renormalization
+            # D^-1/2 (A_bin + 2I) D^-1/2 over binary connectivity (the
+            # reference drops weights by passing edge indices only,
+            # vgrnn.py:179-192); the raw ``adjs`` bank stays as the dense
+            # reconstruction target for the VAE loss.
+            import scipy.sparse as ssp
+            from ctgcn_tpu.data.loader import stack_graphs
+            from ctgcn_tpu.ops.sparse import from_scipy
+            from ctgcn_tpu.utils import pad_bucket
+
+            mats = data_loader.get_scipy_adj_list(origin_base_path, idx,
+                                                  time_length, sep=file_sep)
+            normed = []
+            for m in mats:
+                b = (m.tocsr() != 0).astype(np.float64)
+                M = b + 2.0 * ssp.eye(b.shape[0])
+                d = np.asarray(M.sum(axis=1)).flatten()
+                dinv = np.where(d > 0, d ** -0.5, 0.0)
+                D = ssp.diags(dinv)
+                normed.append((D @ M @ D).tocoo())
+            cap = pad_bucket(max(m.nnz for m in normed))
+            args["_vgrnn_norm_adjs"] = stack_graphs(
+                [from_scipy(m, pad_to=cap) for m in normed])
+    args["_neighbor_data"] = neighbor_data
 
     if method in ("EvolveGCN", "CGCN-S", "CTGCN-S") and nfeature_path is None:
         xs, input_dim = data_loader.get_degree_feature_list(
@@ -121,7 +166,8 @@ def get_gnn_model(method, time_length, args, key):
         from ctgcn_tpu.nn.gat import GAT
         return GAT.init(key, input_dim, hidden_dim, embed_dim,
                         dropout=dropout, alpha=args.get("alpha", 0.2),
-                        head_num=args.get("head_num", 1))
+                        head_num=args.get("head_num", 1),
+                        learning_type=args.get("learning_type", "U-neg"))
     if method in ("SAGE", "TgSAGE"):
         from ctgcn_tpu.nn.sage import SAGE
         return SAGE.init(key, input_dim, hidden_dim, embed_dim,
@@ -169,14 +215,36 @@ def get_gnn_model(method, time_length, args, key):
                       trans_activate_type=trans_activate_type)
 
 
-def make_forward(method, adjs, xs, edge_index=None):
-    """(model, key) -> embs [T, N, d] (plus trans for S-variants)."""
+def make_forward(method, adjs, xs, neighbor_data=None, vgrnn_adjs=None,
+                 pgnn_dists=None):
+    """(model, key) -> embs [T, N, d] (plus trans for S-variants, plus
+    (h, loss_data) for VGRNN)."""
     if method in get_core_based_methods():
         def fwd(model, key=None):
             return model(xs, adjs)
+    elif method in ("SAGE", "TgSAGE"):
+        def fwd(model, key=None):
+            return model(xs, neighbor_data, key)
+    elif method in ("GIN", "TgGIN"):
+        def fwd(model, key=None):
+            return model(xs, adjs, neighbor_data, key)
     elif method == "VGRNN":
         def fwd(model, key=None):
-            return model(xs, edge_index, key=key)
+            return model(xs, vgrnn_adjs, key=key)
+    elif method == "PGNN":
+        from ctgcn_tpu.nn.pgnn import anchor_sizes, select_anchor_dists
+
+        dists = pgnn_dists
+        sizes = anchor_sizes(dists.shape[1], c=1.0)
+        T = dists.shape[0]
+
+        def fwd(model, key=None):
+            k = key if key is not None else jax.random.key(0)
+            ka, kd = jax.random.split(k)
+            kt = jax.random.split(ka, T)
+            dm, da = jax.vmap(
+                lambda d, kk: select_anchor_dists(kk, d, sizes))(dists, kt)
+            return model(xs, (dm, da), kd)
     else:
         def fwd(model, key=None):
             return model(xs, adjs, key)
@@ -343,7 +411,10 @@ def gnn_embedding(method, args):
         args["input_dim"] = input_dim
         key, k_model = jax.random.split(key)
         model = get_gnn_model(method, time_length, args, k_model)
-        fwd = make_forward(method, adjs, xs)
+        fwd = make_forward(method, adjs, xs,
+                           neighbor_data=args.get("_neighbor_data"),
+                           vgrnn_adjs=args.get("_vgrnn_norm_adjs"),
+                           pgnn_dists=args.get("_pgnn_dists"))
         cost = _run_window(method, model, fwd, data_loader, args, idx,
                            time_length, edge_list, learning_type, base_path,
                            origin_folder, embedding_folder, node_list,
@@ -366,6 +437,7 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
                 batch_size, lr, weight_decay, load_model, shuffle, export,
                 seed):
     is_s_variant = method in ("CGCN-S", "CTGCN-S")
+    is_vgrnn = method == "VGRNN"
 
     if learning_type in ("U-neg", "U-own"):
         if learning_type == "U-neg":
@@ -381,12 +453,24 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
             def loss_fn(m, b_idx, b_mask, k):
                 k_drop, k_samp = jax.random.split(k)
                 res = fwd(m, k_drop)
-                embs = res[0] if is_s_variant else res
+                embs = res[0] if (is_s_variant or is_vgrnn) else res
                 return L.negative_sampling_loss(embs, b_idx, b_mask, walk,
                                                 k_samp, neg_num=neg_num, Q=Q)
+        elif is_vgrnn:  # U-own: VAE loss (reference train.py:184-186)
+            from ctgcn_tpu.ops.sparse import to_dense
+
+            eps = args.get("eps", 1e-10)
+            adj_dense = jax.vmap(
+                lambda t: to_dense(jax.tree.map(lambda a: a[t], adjs)))(
+                    jnp.arange(adjs.rows.shape[0]))
+
+            def loss_fn(m, b_idx, b_mask, k):
+                _, _, (em, es, pm, ps, dec) = fwd(m, k)
+                return L.vae_loss(em, es, pm, ps, dec, adj_dense, eps=eps)
         else:  # U-own: reconstruction loss for CGCN-S/CTGCN-S
             assert is_s_variant, (
-                f"U-own is only defined for S-variants, got {method}")
+                f"U-own is only defined for S-variants and VGRNN, "
+                f"got {method}")
 
             def loss_fn(m, b_idx, b_mask, k):
                 embs, trans = fwd(m, k)
@@ -395,7 +479,11 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
         def embed_fn(m):
             res = fwd(m, None)
             # S-variants export the structure embedding (embedding.py:320-321)
-            return res[1] if is_s_variant else res
+            if is_s_variant:
+                return res[1]
+            if is_vgrnn:
+                return res[0]
+            return res
 
         trainer = UnsupervisedEmbedding(
             base_path=base_path, origin_folder=origin_folder,

@@ -1,0 +1,265 @@
+# coding: utf-8
+"""Model zoo forward/grad sanity + CoreDiffusion semantics tests (CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from ctgcn_tpu.data.loader import stack_graphs
+from ctgcn_tpu.ops.pyramid import build_core_pyramid, stack_pyramids
+from ctgcn_tpu.ops.sparse import from_scipy
+
+N, T = 24, 3
+
+
+@pytest.fixture
+def adjs(rng):
+    mats = []
+    for _ in range(T):
+        d = (rng.rand(N, N) < 0.25).astype(np.float32)
+        d = np.triu(d, 1)
+        d = d + d.T
+        mats.append(sp.coo_matrix(d))
+    return mats
+
+
+@pytest.fixture
+def adj_bank(adjs):
+    cap = 512
+    return stack_graphs([from_scipy(m, pad_to=cap) for m in adjs])
+
+
+@pytest.fixture
+def pyramids(adjs):
+    pyrs = []
+    for m in adjs:
+        A = m.tocsr()
+        deg = np.asarray(A.sum(1)).flatten()
+        mats = []
+        for k in [2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                A.multiply(keep[:, None]).multiply(keep[None, :])))
+        pyrs.append(build_core_pyramid(mats, N, num_slots=3, pad_to=512))
+    return stack_pyramids(pyrs)
+
+
+def _grad_ok(loss_fn, model):
+    g = jax.grad(loss_fn)(model)
+    total = jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
+    assert bool(jnp.isfinite(total))
+    return float(total)
+
+
+def test_core_diffusion_matches_manual_oracle(pyramids, rng):
+    """CoreDiffusion == manual prefix-sum + GRU + sum + LayerNorm oracle."""
+    from ctgcn_tpu.nn.core_models import CoreDiffusion
+    from ctgcn_tpu.ops.rnn import rnn_scan
+
+    layer = CoreDiffusion.init(jax.random.key(0), 8, 6)
+    x = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    pyr0 = jax.tree.map(lambda a: a[0], pyramids)
+    out = layer(x, pyr0)
+    assert out.shape == (N, 6)
+
+    # manual oracle over the dense valid cores
+    accs = []
+    acc = jnp.zeros_like(x)
+    for k in range(pyr0.num_slots):
+        if not bool(pyr0.valid[k]):
+            continue
+        dense = np.zeros((N, N), np.float32)
+        rows = np.asarray(pyr0.rows[k])
+        cols = np.asarray(pyr0.cols[k])
+        vals = np.asarray(pyr0.vals[k])
+        m = vals != 0
+        np.add.at(dense, (rows[m], cols[m]), vals[m])
+        acc = acc + jnp.asarray(dense) @ x
+        accs.append(jax.nn.relu(acc))
+    hx = jnp.stack(accs)
+    outs, _ = rnn_scan(layer.rnn, hx)
+    expected = layer.norm(outs.sum(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ctgcn_forward_and_grad(pyramids):
+    from ctgcn_tpu.nn import CTGCN
+
+    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=12,
+                       output_dim=8, trans_num=1, diffusion_num=2, duration=T)
+    out = model(None, pyramids)
+    assert out.shape == (T, N, 8)
+    _grad_ok(lambda m: jnp.sum(jnp.square(m(None, pyramids))), model)
+
+
+def test_cgcn_s_returns_trans(pyramids, rng):
+    from ctgcn_tpu.nn import CGCN
+
+    model = CGCN.init(jax.random.key(1), input_dim=10, hidden_dim=12,
+                      output_dim=8, trans_num=2, diffusion_num=1,
+                      model_type="S", trans_activate_type="N")
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+    emb, trans = model(xs, pyramids)
+    assert emb.shape == (T, N, 8) and trans.shape == (T, N, 8)
+
+
+def test_gcn_gat_forward_grad(adj_bank, rng):
+    from ctgcn_tpu.nn.gcn import GCN
+    from ctgcn_tpu.nn.gat import GAT
+
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+    gcn = GCN.init(jax.random.key(0), 10, 16, 8)
+    out = gcn(xs, adj_bank, key=jax.random.key(1))
+    assert out.shape == (T, N, 8)
+    _grad_ok(lambda m: jnp.sum(jnp.square(m(xs, adj_bank))), gcn)
+
+    gat = GAT.init(jax.random.key(2), 10, 16, 8, head_num=2)
+    out = gat(xs, adj_bank)
+    assert out.shape == (T, N, 8)
+    _grad_ok(lambda m: jnp.sum(jnp.square(m(xs, adj_bank))), gat)
+
+
+def test_gcrn_forward(adj_bank, rng):
+    from ctgcn_tpu.nn.gcn import GCRN
+
+    model = GCRN.init(jax.random.key(0), 10, 16, 8, duration=T)
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+    out = model(xs, adj_bank)
+    assert out.shape == (T, N, 8)
+
+
+def test_sage_gin_forward(adjs, adj_bank, rng):
+    from ctgcn_tpu.nn.sage import SAGE
+    from ctgcn_tpu.nn.gin import GIN
+    from ctgcn_tpu.ops.neighbors import neighbor_table_from_scipy
+
+    nbr_data = neighbor_table_from_scipy(adjs)
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+
+    sage = SAGE.init(jax.random.key(0), 10, 16, 8, num_sample=4)
+    out = sage(xs, nbr_data, key=jax.random.key(1))
+    assert out.shape == (T, N, 8)
+    sage_full = SAGE.init(jax.random.key(0), 10, 16, 8, num_sample=None)
+    out = sage_full(xs, nbr_data)
+    assert out.shape == (T, N, 8)
+
+    gin = GIN.init(jax.random.key(2), 10, 16, 8, layer_num=2,
+                   mlp_layer_num=2, learn_eps=True)
+    out = gin(xs, adj_bank)
+    assert out.shape == (T, N, 8)
+    gin_max = GIN.init(jax.random.key(3), 10, 16, 8, layer_num=2,
+                       mlp_layer_num=2, learn_eps=False, pooling_type="max")
+    out = gin_max(xs, adj_bank, nbr_data)
+    assert out.shape == (T, N, 8)
+
+
+def test_evolvegcn_forward_grad(adj_bank, rng):
+    from ctgcn_tpu.nn.egcn import EvolveGCN
+
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+    for egcn_type in ("EGCNH", "EGCNO"):
+        model = EvolveGCN.init(jax.random.key(0), 10, 9, 8,
+                               egcn_type=egcn_type)
+        out = model(xs, adj_bank)
+        assert out.shape == (T, N, 8)
+        _grad_ok(lambda m: jnp.sum(jnp.square(m(xs, adj_bank))), model)
+
+
+def test_vgrnn_forward_grad(adjs, rng):
+    from ctgcn_tpu.nn.vgrnn import VGRNN
+    from ctgcn_tpu.ops.sparse import normalize_scipy_adj
+
+    normed = []
+    for m in adjs:
+        b = (m.tocsr() != 0).astype(np.float64) + 2.0 * sp.eye(N)
+        normed.append(normalize_scipy_adj(b))
+    bank = stack_graphs([from_scipy(m, pad_to=1024) for m in normed])
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+    model = VGRNN.init(jax.random.key(0), 10, 12, 8)
+    embs, h, (em, es, pm, ps, dec) = model(xs, bank, key=jax.random.key(1))
+    assert embs.shape == (T, N, 8)
+    assert dec.shape == (T, N, N)
+    assert bool(jnp.isfinite(embs).all())
+
+    from ctgcn_tpu.losses import vae_loss
+    from ctgcn_tpu.ops.sparse import to_dense
+
+    adj_dense = jnp.stack(
+        [jnp.asarray(m.toarray().astype(np.float32)) for m in adjs])
+
+    def loss_fn(m):
+        _, _, (em, es, pm, ps, dec) = m(xs, bank, key=jax.random.key(1))
+        return vae_loss(em, es, pm, ps, dec, adj_dense)
+
+    _grad_ok(loss_fn, model)
+
+
+def test_pgnn_forward(adjs, rng):
+    from ctgcn_tpu.nn.pgnn import (
+        PGNN, anchor_sizes, precompute_dist_data, select_anchor_dists,
+    )
+
+    edge_list = [np.stack([m.row, m.col]) for m in adjs]
+    dists = jnp.asarray(precompute_dist_data(edge_list, N))
+    sizes = anchor_sizes(N)
+    dm, da = jax.vmap(
+        lambda d, k: select_anchor_dists(k, d, sizes))(
+            dists, jax.random.split(jax.random.key(0), T))
+    xs = jnp.asarray(rng.randn(T, N, 10).astype(np.float32))
+    model = PGNN.init(jax.random.key(1), 10, 6, 6, 8, layer_num=2)
+    out = model(xs, (dm, da))
+    # position-aware output dim == number of anchor sets (reference
+    # pgnn.py:201-206 returns x_position, one scalar per anchor set)
+    assert out.shape == (T, N, len(sizes))
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_dyn_family_forward(rng):
+    from ctgcn_tpu.nn.dynae import DynAE, DynAERNN, DynGEM, DynRNN
+
+    lb, d = 2, 6
+    x2d = jnp.asarray(rng.randn(5, lb * N).astype(np.float32))
+    x3d = jnp.asarray(rng.randn(5, lb, N).astype(np.float32))
+
+    m = DynAE.init(jax.random.key(0), N, d, lb, (16, 12))
+    hx, pred = m(x2d)
+    assert hx.shape == (5, d) and pred.shape == (5, N)
+
+    m = DynRNN.init(jax.random.key(1), N, d, lb, (16, 12))
+    hx, pred = m(x3d)
+    assert hx.shape == (5, d) and pred.shape == (5, N)
+
+    m = DynAERNN.init(jax.random.key(2), N, d, lb, (16, 12), (10,))
+    hx, pred = m(x3d)
+    assert hx.shape == (5, d) and pred.shape == (5, N)
+
+    m = DynGEM.init(jax.random.key(3), N, d, (16, 12))
+    hx, pred = m(x2d[:, :N])
+    assert hx.shape == (5, d) and pred.shape == (5, N)
+
+
+def test_timers_runs(tmp_path, adjs):
+    import pandas as pd
+    from ctgcn_tpu.nn.timers import timers
+
+    base = tmp_path
+    (base / "snaps").mkdir()
+    names = [f"U{i}" for i in range(N)]
+    pd.DataFrame({"node": names}).to_csv(base / "nodes.csv", index=False,
+                                         header=False)
+    for t, m in enumerate(adjs):
+        coo = m.tocoo()
+        keep = coo.row < coo.col
+        df = pd.DataFrame({
+            "from_id": [names[i] for i in coo.row[keep]],
+            "to_id": [names[j] for j in coo.col[keep]],
+            "weight": coo.data[keep],
+        })
+        df.to_csv(base / "snaps" / f"t{t}.csv", sep="\t", index=False)
+    timers(str(base / "nodes.csv"), str(base / "snaps"),
+           str(base / "emb"), Theta=0.17, dim=4)
+    out = pd.read_csv(base / "emb" / "t0.csv", sep="\t", index_col=0)
+    assert out.shape == (N, 8)
+    assert np.isfinite(out.values).all()

@@ -27,6 +27,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ctgcn_tpu.main import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     from ctgcn_tpu.data.loader import DataLoader
     from ctgcn_tpu.data.formats import read_node_list
     from ctgcn_tpu.losses import negative_sampling_loss
@@ -59,28 +63,30 @@ def main():
     batch_idx = jnp.arange(N, dtype=jnp.int32)
     batch_mask = jnp.ones((N,), bool)
 
-    def loss_fn(model, key):
+    # data threads through jit as ARGUMENTS — closing over the banks would
+    # embed them as HLO constants and explode local compile time
+    def loss_fn(model, pyr, walk, key):
         embs = model(None, pyr)
         return negative_sampling_loss(embs, batch_idx, batch_mask, walk, key,
                                       neg_num=20, Q=20.0)
 
     @jax.jit
-    def train_step(model, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_fn)(model, key)
+    def train_step(model, opt_state, pyr, walk, key):
+        loss, grads = jax.value_and_grad(loss_fn)(model, pyr, walk, key)
         updates, opt_state = optimizer.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, opt_state, loss
 
     key = jax.random.key(1)
     # warmup / compile
-    model, opt_state, loss = train_step(model, opt_state, key)
+    model, opt_state, loss = train_step(model, opt_state, pyr, walk, key)
     jax.block_until_ready(loss)
 
     iters = 20
     t0 = time.time()
     for i in range(iters):
         key, k = jax.random.split(key)
-        model, opt_state, loss = train_step(model, opt_state, k)
+        model, opt_state, loss = train_step(model, opt_state, pyr, walk, k)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / iters
 

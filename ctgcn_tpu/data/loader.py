@@ -85,10 +85,16 @@ class DataLoader:
     # k-core pyramids
     # ------------------------------------------------------------------
     def get_core_adj_list(self, core_base_path, start_idx, duration,
-                          max_core=-1, stacked=True):
+                          max_core=-1, stacked=True,
+                          dense_budget_bytes=4 << 30):
         """K-core pyramid bank (reference helper.py:51-82 semantics:
         truncate to max_core, reverse so max core first, +I on the first,
-        delta-skip as validity masks)."""
+        delta-skip as validity masks).
+
+        When the whole window's dense [T, K, N, N] mirror fits in
+        ``dense_budget_bytes`` the pyramids also carry dense slots so
+        CoreDiffusion runs on the MXU instead of gather/scatter (TPU gathers
+        run far below HBM bandwidth; see ops/pyramid.py)."""
         date_dirs = sorted_dir(core_base_path)
         assert start_idx < len(date_dirs)
         window = list(self._window(start_idx, duration))
@@ -108,9 +114,13 @@ class DataLoader:
             (m.nnz + (self.node_num if j == 0 else 0))
             for mats in per_snap_mats for j, m in enumerate(mats))
         cap = pad_bucket(max_nnz)
+        dense_bytes = (len(per_snap_mats) * num_slots
+                       * self.node_num * self.node_num * 4)
+        densify = (dense_budget_bytes is not None
+                   and dense_bytes <= dense_budget_bytes)
         pyramids = [
             build_core_pyramid(mats, self.node_num, num_slots=num_slots,
-                               pad_to=cap)
+                               pad_to=cap, densify=densify)
             for mats in per_snap_mats
         ]
         return stack_pyramids(pyramids) if stacked else pyramids

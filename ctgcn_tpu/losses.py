@@ -155,7 +155,7 @@ def classification_loss(preds, labels, n_class, mask=None):
         losses, accs = jax.vmap(lambda p, y: per_timestamp(p, y, None))(
             preds, labels)
     else:
-        losses, accs = jax.vmap(per_timestamp)(preds, labels, masks)
+        losses, accs = jax.vmap(per_timestamp)(preds, labels, mask)
     return jnp.sum(losses), jnp.mean(accs)
 
 

@@ -12,9 +12,25 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from ctgcn_tpu.utils import get_supported_methods
+
+
+def _enable_compilation_cache():
+    """Persist XLA compilations across runs (first compiles of the big
+    per-timestep CTGCN graphs run minutes; subsequent runs hit the cache)."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "CTGCN_TPU_CACHE", os.path.expanduser("~/.cache/ctgcn_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as exc:  # never block the run on cache setup
+        print("compilation cache disabled:", exc)
 
 
 def parse_args(argv):
@@ -59,6 +75,7 @@ def embedding_task(method, args):
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    _enable_compilation_cache()
     config_dict = parse_json_args(args.config[0])
 
     if args.task == "preprocessing":

@@ -69,23 +69,33 @@ class CoreDiffusion:
         )
 
     def __call__(self, x, pyramid: CorePyramid):
+        """The reference's sequential per-core loop (layers.py:41-47) is a
+        prefix sum of independent per-core SpMMs — here all K products run
+        as one batched op, then a cumulative sum along the core axis (an
+        invalid slot contributes zero, which IS the pass-through)."""
         n = pyramid.n_nodes
+        K = pyramid.num_slots
 
-        def scan_body(acc, slot):
-            rows, cols, vals, valid = slot
-            contrib = jax.ops.segment_sum(
-                x[cols] * vals[:, None], rows, num_segments=n,
-                indices_are_sorted=True,
-            )
-            acc_new = jnp.where(valid, acc + contrib, acc)
-            h = jnp.where(valid, jax.nn.relu(acc_new), 0.0)
-            return acc_new, h
+        if pyramid.dense is not None:
+            # one batched MXU matmul: [K, N, N] @ [N, d]
+            contribs = jax.lax.dot_general(
+                pyramid.dense, x.astype(pyramid.dense.dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            # one flattened gather + segment-sum over all K slots
+            flat_cols = pyramid.cols.reshape(-1)
+            flat_vals = pyramid.vals.reshape(-1)
+            offsets = (jnp.arange(K, dtype=pyramid.rows.dtype) * n)[:, None]
+            flat_rows = (pyramid.rows + offsets).reshape(-1)
+            gathered = x[flat_cols] * flat_vals[:, None]
+            contribs = jax.ops.segment_sum(
+                gathered, flat_rows, num_segments=K * n,
+                indices_are_sorted=True).reshape(K, n, -1)
 
-        acc0 = jnp.zeros_like(x)
-        _, hx = jax.lax.scan(
-            scan_body, acc0,
-            (pyramid.rows, pyramid.cols, pyramid.vals, pyramid.valid),
-        )
+        contribs = contribs * pyramid.valid[:, None, None]
+        acc = jnp.cumsum(contribs, axis=0)
+        hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
         # hx: [K, N, in]; RNN over the core axis with packed-seq masking
         outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)
         return self.norm(outs.sum(axis=0))

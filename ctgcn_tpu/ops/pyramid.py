@@ -16,7 +16,10 @@ core-axis RNN (see ctgcn_tpu.nn.core_models.CoreDiffusion).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -30,6 +33,11 @@ class CorePyramid:
     vals: jnp.ndarray   # float32[K, P]
     valid: jnp.ndarray  # bool[K]
     n_nodes: int = struct.field(pytree_node=False)
+    # Optional dense [K, N, N] mirror of the slots.  TPU gathers run far
+    # below HBM bandwidth while the MXU is idle, so for small graphs the
+    # k-core SpMMs are fastest as one batched dense matmul; the loader
+    # materializes this when the memory budget allows.
+    dense: jnp.ndarray | None = None
 
     @property
     def num_slots(self) -> int:
@@ -41,7 +49,8 @@ class CorePyramid:
 
 
 def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
-                       add_eye_first=True, drop_empty_delta=True):
+                       add_eye_first=True, drop_empty_delta=True,
+                       densify=False, dense_dtype=None):
     """Build a CorePyramid from scipy matrices ordered max-core-first.
 
     Args:
@@ -94,9 +103,30 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
         vals[k, :nnz] = v
         valid[k] = True
 
-    return CorePyramid(rows=jnp.asarray(rows), cols=jnp.asarray(cols),
-                       vals=jnp.asarray(vals), valid=jnp.asarray(valid),
-                       n_nodes=int(n_nodes))
+    rows_j = jnp.asarray(rows)
+    cols_j = jnp.asarray(cols)
+    vals_j = jnp.asarray(vals)
+    dense = None
+    if densify:
+        # Densify ON DEVICE from the (already-shipped) COO: a host-built
+        # [K, N, N] tensor would cross the host↔device link at far below
+        # HBM bandwidth, while a one-time device scatter is nearly free.
+        dense = _densify_on_device(rows_j, cols_j, vals_j, n_nodes,
+                                   dtype=dense_dtype or jnp.float32)
+
+    return CorePyramid(rows=rows_j, cols=cols_j, vals=vals_j,
+                       valid=jnp.asarray(valid), n_nodes=int(n_nodes),
+                       dense=dense)
+
+
+@functools.partial(jax.jit, static_argnums=(3,), static_argnames=("dtype",))
+def _densify_on_device(rows, cols, vals, n_nodes, dtype=jnp.float32):
+    """[K, P] COO slots → dense [K, N, N] via batched scatter-add."""
+    def one(r, c, v):
+        return jnp.zeros((n_nodes, n_nodes), dtype).at[r, c].add(
+            v.astype(dtype))
+
+    return jax.vmap(one)(rows, cols, vals)
 
 
 def stack_pyramids(pyramids):

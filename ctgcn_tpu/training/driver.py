@@ -215,39 +215,43 @@ def get_gnn_model(method, time_length, args, key):
                       trans_activate_type=trans_activate_type)
 
 
-def make_forward(method, adjs, xs, neighbor_data=None, vgrnn_adjs=None,
-                 pgnn_dists=None):
-    """(model, key) -> embs [T, N, d] (plus trans for S-variants, plus
-    (h, loss_data) for VGRNN)."""
+def make_forward(method):
+    """Build fwd(model, data, key) -> embs [T, N, d] (plus trans for
+    S-variants, plus (h, loss_data) for VGRNN).
+
+    ``data`` is the window-input pytree built by the driver and threaded
+    through jit AS AN ARGUMENT — closing over the banks would embed them as
+    HLO constants and blow up compilation for dense pyramids.
+    """
     if method in get_core_based_methods():
-        def fwd(model, key=None):
-            return model(xs, adjs)
+        def fwd(model, data, key=None):
+            return model(data["xs"], data["adjs"])
     elif method in ("SAGE", "TgSAGE"):
-        def fwd(model, key=None):
-            return model(xs, neighbor_data, key)
+        def fwd(model, data, key=None):
+            return model(data["xs"], data["neighbor_data"], key)
     elif method in ("GIN", "TgGIN"):
-        def fwd(model, key=None):
-            return model(xs, adjs, neighbor_data, key)
+        def fwd(model, data, key=None):
+            return model(data["xs"], data["adjs"], data["neighbor_data"],
+                         key)
     elif method == "VGRNN":
-        def fwd(model, key=None):
-            return model(xs, vgrnn_adjs, key=key)
+        def fwd(model, data, key=None):
+            return model(data["xs"], data["vgrnn_adjs"], key=key)
     elif method == "PGNN":
         from ctgcn_tpu.nn.pgnn import anchor_sizes, select_anchor_dists
 
-        dists = pgnn_dists
-        sizes = anchor_sizes(dists.shape[1], c=1.0)
-        T = dists.shape[0]
-
-        def fwd(model, key=None):
+        def fwd(model, data, key=None):
+            dists = data["pgnn_dists"]
+            sizes = anchor_sizes(dists.shape[1], c=1.0)
+            T = dists.shape[0]
             k = key if key is not None else jax.random.key(0)
             ka, kd = jax.random.split(k)
             kt = jax.random.split(ka, T)
             dm, da = jax.vmap(
                 lambda d, kk: select_anchor_dists(kk, d, sizes))(dists, kt)
-            return model(xs, (dm, da), kd)
+            return model(data["xs"], (dm, da), kd)
     else:
-        def fwd(model, key=None):
-            return model(xs, adjs, key)
+        def fwd(model, data, key=None):
+            return model(data["xs"], data["adjs"], key)
     return fwd
 
 
@@ -409,13 +413,17 @@ def gnn_embedding(method, args):
         input_dim, adjs, xs, edge_list = get_input_data(
             method, idx, time_length, data_loader, args)
         args["input_dim"] = input_dim
+        data = {
+            "adjs": adjs,
+            "xs": xs,
+            "neighbor_data": args.pop("_neighbor_data", None),
+            "vgrnn_adjs": args.pop("_vgrnn_norm_adjs", None),
+            "pgnn_dists": args.pop("_pgnn_dists", None),
+        }
         key, k_model = jax.random.split(key)
         model = get_gnn_model(method, time_length, args, k_model)
-        fwd = make_forward(method, adjs, xs,
-                           neighbor_data=args.get("_neighbor_data"),
-                           vgrnn_adjs=args.get("_vgrnn_norm_adjs"),
-                           pgnn_dists=args.get("_pgnn_dists"))
-        cost = _run_window(method, model, fwd, data_loader, args, idx,
+        fwd = make_forward(method)
+        cost = _run_window(method, model, fwd, data, data_loader, args, idx,
                            time_length, edge_list, learning_type, base_path,
                            origin_folder, embedding_folder, node_list,
                            model_folder, model_file, epoch, batch_size, lr,
@@ -431,11 +439,11 @@ def gnn_embedding(method, args):
           f"{time.time() - t_start} seconds!")
 
 
-def _run_window(method, model, fwd, data_loader, args, idx, time_length,
-                edge_list, learning_type, base_path, origin_folder,
-                embedding_folder, node_list, model_folder, model_file, epoch,
-                batch_size, lr, weight_decay, load_model, shuffle, export,
-                seed):
+def _run_window(method, model, fwd, data, data_loader, args, idx,
+                time_length, edge_list, learning_type, base_path,
+                origin_folder, embedding_folder, node_list, model_folder,
+                model_file, epoch, batch_size, lr, weight_decay, load_model,
+                shuffle, export, seed):
     is_s_variant = method in ("CGCN-S", "CTGCN-S")
     is_vgrnn = method == "VGRNN"
 
@@ -449,35 +457,39 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
                 idx, time_length)
             neg_num = args["neg_num"]
             Q = args["Q"]
+            data["walk"] = walk
 
-            def loss_fn(m, b_idx, b_mask, k):
+            def loss_fn(m, d, b_idx, b_mask, k):
                 k_drop, k_samp = jax.random.split(k)
-                res = fwd(m, k_drop)
+                res = fwd(m, d, k_drop)
                 embs = res[0] if (is_s_variant or is_vgrnn) else res
-                return L.negative_sampling_loss(embs, b_idx, b_mask, walk,
-                                                k_samp, neg_num=neg_num, Q=Q)
+                return L.negative_sampling_loss(embs, b_idx, b_mask,
+                                                d["walk"], k_samp,
+                                                neg_num=neg_num, Q=Q)
         elif is_vgrnn:  # U-own: VAE loss (reference train.py:184-186)
             from ctgcn_tpu.ops.sparse import to_dense
 
             eps = args.get("eps", 1e-10)
-            adj_dense = jax.vmap(
+            adjs = data["adjs"]
+            data["vae_adj_dense"] = jax.vmap(
                 lambda t: to_dense(jax.tree.map(lambda a: a[t], adjs)))(
                     jnp.arange(adjs.rows.shape[0]))
 
-            def loss_fn(m, b_idx, b_mask, k):
-                _, _, (em, es, pm, ps, dec) = fwd(m, k)
-                return L.vae_loss(em, es, pm, ps, dec, adj_dense, eps=eps)
+            def loss_fn(m, d, b_idx, b_mask, k):
+                _, _, (em, es, pm, ps, dec) = fwd(m, d, k)
+                return L.vae_loss(em, es, pm, ps, dec, d["vae_adj_dense"],
+                                  eps=eps)
         else:  # U-own: reconstruction loss for CGCN-S/CTGCN-S
             assert is_s_variant, (
                 f"U-own is only defined for S-variants and VGRNN, "
                 f"got {method}")
 
-            def loss_fn(m, b_idx, b_mask, k):
-                embs, trans = fwd(m, k)
+            def loss_fn(m, d, b_idx, b_mask, k):
+                embs, trans = fwd(m, d, k)
                 return L.reconstruction_loss(embs, trans, b_idx, b_mask)
 
-        def embed_fn(m):
-            res = fwd(m, None)
+        def embed_fn(m, d):
+            res = fwd(m, d, None)
             # S-variants export the structure embedding (embedding.py:320-321)
             if is_s_variant:
                 return res[1]
@@ -488,7 +500,7 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
         trainer = UnsupervisedEmbedding(
             base_path=base_path, origin_folder=origin_folder,
             embedding_folder=embedding_folder, node_list=node_list,
-            model=model, loss_fn=loss_fn, embed_fn=embed_fn,
+            model=model, loss_fn=loss_fn, embed_fn=embed_fn, data=data,
             model_folder=model_folder)
         return trainer.learn_embedding(
             epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
@@ -522,9 +534,9 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
         splits = build_label_splits(node_labels, train_ratio, val_ratio,
                                     test_ratio, is_edge=False)
 
-        def forward_fn(models, items, k):
+        def forward_fn(models, d, items, k):
             m, cls = models
-            res = fwd(m, k)
+            res = fwd(m, d, k)
             embs = res[0] if is_s_variant else res
             preds = jax.vmap(lambda e, i: cls.mlp(e[i]))(embs, items)
             return preds, embs, (res[1] if is_s_variant else None)
@@ -546,9 +558,9 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
         splits = build_label_splits(edge_labels, train_ratio, val_ratio,
                                     test_ratio, is_edge=True)
 
-        def forward_fn(models, items, k):
+        def forward_fn(models, d, items, k):
             m, cls = models
-            res = fwd(m, k)
+            res = fwd(m, d, k)
             embs = res[0] if is_s_variant else res
             # items: [T, B, 2] edge endpoints
             def per_t(e, it):
@@ -568,9 +580,9 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
                                    train_ratio, val_ratio, test_ratio,
                                    learning_type)
 
-        def forward_fn(models, items, k):
+        def forward_fn(models, d, items, k):
             m, _ = models
-            res = fwd(m, k)
+            res = fwd(m, d, k)
             embs = res[0] if is_s_variant else res
             used = embs[:-1] if drop_last else embs
             def per_t(e, it):
@@ -595,19 +607,20 @@ def _run_window(method, model, fwd, data_loader, args, idx, time_length,
 
         inner_forward = forward_fn
 
-        def forward_fn(models, items, k):  # noqa: F811
-            preds, embs, trans = inner_forward(models, items, k)
+        def forward_fn(models, d, items, k):  # noqa: F811
+            preds, embs, trans = inner_forward(models, d, items, k)
             return preds, embs, (embs, trans)
 
-    def embed_fn(models):
-        res = fwd(models[0], None)
+    def embed_fn(models, d):
+        res = fwd(models[0], d, None)
         return res[1] if is_s_variant else res
 
     trainer = SupervisedEmbedding(
         base_path=base_path, origin_folder=origin_folder,
         embedding_folder=embedding_folder, node_list=node_list, model=model,
         classifier=classifier, forward_fn=forward_fn, loss_fn=loss_fn,
-        embed_fn=embed_fn, auc_fn=auc_fn, model_folder=model_folder)
+        embed_fn=embed_fn, data=data, auc_fn=auc_fn,
+        model_folder=model_folder)
     tr, va, te = splits["train"], splits["val"], splits["test"]
     return trainer.learn_embedding(
         tr[0], tr[1], tr[2], va[0], va[1], va[2], te[0], te[1], te[2],

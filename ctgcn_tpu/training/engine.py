@@ -105,17 +105,21 @@ class UnsupervisedEmbedding(BaseEmbedding):
     """U-neg / U-own trainer (reference embedding.py:294-368).
 
     Args:
-      loss_fn: (model, batch_idx[B], batch_mask[B], key) -> scalar loss,
-        closing over the window's inputs (adj/pyramids/walk data).
-      embed_fn: (model) -> [T, N, d] embeddings for export.
+      loss_fn: (model, data, batch_idx[B], batch_mask[B], key) -> scalar.
+      embed_fn: (model, data) -> [T, N, d] embeddings for export.
+      data: pytree of window inputs (adjacency banks / pyramids / features /
+        walk tables).  IMPORTANT: inputs are threaded through jit as
+        arguments — a loss_fn that closes over device arrays would embed
+        them as HLO constants, which explodes compile time for large banks.
     """
 
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
-                 model, loss_fn, embed_fn, model_folder="model"):
+                 model, loss_fn, embed_fn, data, model_folder="model"):
         super().__init__(base_path, origin_folder, embedding_folder,
                          node_list, model, model_folder=model_folder)
         self.loss_fn = loss_fn
         self.embed_fn = embed_fn
+        self.data = data
 
     def learn_embedding(self, epoch=50, batch_size=1024, lr=1e-3,
                         start_idx=0, weight_decay=0.0, model_file="ctgcn",
@@ -131,14 +135,14 @@ class UnsupervisedEmbedding(BaseEmbedding):
         loss_fn = self.loss_fn
 
         @jax.jit
-        def epoch_step(model, opt_state, batches, masks, key):
+        def epoch_step(model, opt_state, data, batches, masks, key):
             n_batches = batches.shape[0]
             keys = jax.random.split(key, n_batches)
 
             def body(grads_loss, inp):
                 grads_acc, loss_acc = grads_loss
                 b_idx, b_mask, k = inp
-                loss, grads = jax.value_and_grad(loss_fn)(model, b_idx,
+                loss, grads = jax.value_and_grad(loss_fn)(model, data, b_idx,
                                                           b_mask, k)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + loss), loss
@@ -157,15 +161,15 @@ class UnsupervisedEmbedding(BaseEmbedding):
             batches, masks = batch_matrix(self.node_num, batch_size,
                                           key=k_perm, shuffle=shuffle)
             model, opt_state, total_loss = epoch_step(
-                model, opt_state, jnp.asarray(batches), jnp.asarray(masks),
-                k_loss)
+                model, opt_state, self.data, jnp.asarray(batches),
+                jnp.asarray(masks), k_loss)
             if verbose:
                 print(f"epoch {i + 1}, loss: {float(total_loss):.6f}, "
                       f"cost time: {time.time() - st:.3f}s")
         cost_time = time.time() - st
 
         if export:
-            output = self.embed_fn(model)
+            output = self.embed_fn(model, self.data)
             self.save_embedding(output, start_idx)
         if model_file:
             save_params(model, model_path)
@@ -177,16 +181,18 @@ class SupervisedEmbedding(BaseEmbedding):
     """S-node / S-edge / S-link trainer (reference embedding.py:93-290).
 
     Args:
-      forward_fn: (models, idx[T, B, ...], key) -> (preds, embs, aux) where
-        ``models`` is the (model, classifier) pair; idx layout depends on the
-        learning type (node rows or edge pairs).
+      forward_fn: (models, data, idx[T, B, ...], key) -> (preds, embs, aux)
+        where ``models`` is the (model, classifier) pair; idx layout depends
+        on the learning type (node rows or edge pairs).
       loss_fn: (preds, labels, mask, aux) -> (loss, acc) on device.
       auc_fn: optional host-side (preds, labels, mask) -> float.
-      embed_fn: (models) -> output to export.
+      embed_fn: (models, data) -> output to export.
+      data: pytree of window inputs threaded through jit (see
+        UnsupervisedEmbedding).
     """
 
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
-                 model, classifier, forward_fn, loss_fn, embed_fn,
+                 model, classifier, forward_fn, loss_fn, embed_fn, data,
                  auc_fn=None, model_folder="model"):
         super().__init__(base_path, origin_folder, embedding_folder,
                          node_list, model, model_folder=model_folder)
@@ -195,6 +201,7 @@ class SupervisedEmbedding(BaseEmbedding):
         self.loss_fn = loss_fn
         self.embed_fn = embed_fn
         self.auc_fn = auc_fn
+        self.data = data
 
     def learn_embedding(self, idx_train, label_train, mask_train, idx_val,
                         label_val, mask_val, idx_test, label_test, mask_test,
@@ -216,9 +223,9 @@ class SupervisedEmbedding(BaseEmbedding):
         forward_fn, loss_fn = self.forward_fn, self.loss_fn
 
         @jax.jit
-        def train_step(models, opt_state, idx, labels, mask, key):
+        def train_step(models, opt_state, data, idx, labels, mask, key):
             def objective(models):
-                preds, embs, aux = forward_fn(models, idx, key)
+                preds, embs, aux = forward_fn(models, data, idx, key)
                 loss, acc = loss_fn(preds, labels, mask, aux)
                 return loss, (acc, preds)
 
@@ -229,8 +236,8 @@ class SupervisedEmbedding(BaseEmbedding):
             return models, opt_state, loss, acc, preds
 
         @jax.jit
-        def eval_step(models, idx, labels, mask):
-            preds, embs, aux = forward_fn(models, idx, None)
+        def eval_step(models, data, idx, labels, mask):
+            preds, embs, aux = forward_fn(models, data, idx, None)
             loss, acc = loss_fn(preds, labels, mask, aux)
             return loss, acc, preds
 
@@ -240,13 +247,14 @@ class SupervisedEmbedding(BaseEmbedding):
         for i in range(epoch):
             rng, k = jax.random.split(rng)
             models, opt_state, loss_tr, acc_tr, _ = train_step(
-                models, opt_state, idx_train, label_train, mask_train, k)
+                models, opt_state, self.data, idx_train, label_train,
+                mask_train, k)
             if i == 0:
                 if verbose:
                     print(f"Epoch: 1 loss_train: {float(loss_tr):.4f}")
                 continue
-            loss_val, acc_val, preds_val = eval_step(models, idx_val,
-                                                     label_val, mask_val)
+            loss_val, acc_val, preds_val = eval_step(
+                models, self.data, idx_val, label_val, mask_val)
             if verbose:
                 msg = (f"Epoch: {i + 1} loss_train: {float(loss_tr):.4f} "
                        f"acc_train: {float(acc_tr):.4f} "
@@ -266,8 +274,8 @@ class SupervisedEmbedding(BaseEmbedding):
                     save_params(models[1], cls_path)
 
         models = best_models
-        loss_te, acc_te, preds_te = eval_step(models, idx_test, label_test,
-                                              mask_test)
+        loss_te, acc_te, preds_te = eval_step(models, self.data, idx_test,
+                                              label_test, mask_test)
         auc_te = (self.auc_fn(preds_te, label_test, mask_test)
                   if self.auc_fn is not None else float("nan"))
         print(f"Test set results: loss= {float(loss_te):.4f} "
@@ -275,7 +283,7 @@ class SupervisedEmbedding(BaseEmbedding):
         cost_time = time.time() - st
 
         if export:
-            output = self.embed_fn(models)
+            output = self.embed_fn(models, self.data)
             self.save_embedding(output, start_idx)
         self.model, self.classifier = models
         return cost_time

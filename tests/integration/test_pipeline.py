@@ -1,0 +1,166 @@
+# coding: utf-8
+"""End-to-end pipeline integration tests on a tiny synthetic dynamic graph:
+preprocessing → embedding training (CLI surface) → evaluation."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+from tests.conftest import make_snapshot_graph
+
+
+N_NODES, N_SNAPSHOTS = 40, 3
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """Build a reference-layout data tree with snapshots + labels."""
+    rng = np.random.RandomState(7)
+    base = tmp_path_factory.mktemp("toy")
+    (base / "1.format").mkdir()
+    (base / "nodes_set").mkdir()
+    (base / "nodes_label").mkdir()
+    names = [f"U{i:03d}" for i in range(N_NODES)]
+    pd.DataFrame({"n": names}).to_csv(base / "nodes_set" / "nodes.csv",
+                                      index=False, header=False)
+    for t in range(N_SNAPSHOTS):
+        g = make_snapshot_graph(rng, N_NODES, density=0.15)
+        coo = g.tocoo()
+        keep = coo.row < coo.col
+        pd.DataFrame({
+            "from_id": [names[i] for i in coo.row[keep]],
+            "to_id": [names[j] for j in coo.col[keep]],
+            "weight": coo.data[keep],
+        }).to_csv(base / "1.format" / f"t{t}.csv", sep="\t", index=False)
+        labels = rng.randint(0, 3, N_NODES)
+        pd.DataFrame({"node": names, "label": labels}).to_csv(
+            base / "nodes_label" / f"t{t}.csv", sep="\t", index=False)
+    return str(base)
+
+
+def _embed_args(dataset, method, **over):
+    args = {
+        "base_path": dataset, "origin_folder": "1.format",
+        "embed_folder": f"2.embedding/{method}", "model_folder": "model",
+        "model_file": method.lower(), "node_file": "nodes_set/nodes.csv",
+        "file_sep": "\t", "start_idx": 0, "end_idx": -1,
+        "duration": N_SNAPSHOTS, "embed_dim": 8, "epoch": 2, "lr": 1e-3,
+        "batch_size": 64, "load_model": False, "shuffle": True,
+        "export": True, "record_time": False, "hid_dim": 12, "dropout": 0.5,
+        "bias": True, "weight_decay": 5e-4, "learning_type": "U-neg",
+        "walk_pair_folder": "walk_pairs", "node_freq_folder": "node_freq",
+        "neg_num": 5, "Q": 10, "train_ratio": 0.5, "val_ratio": 0.3,
+        "test_ratio": 0.2,
+    }
+    args.update(over)
+    return args
+
+
+@pytest.fixture(scope="module")
+def preprocessed(dataset):
+    from ctgcn_tpu.preprocessing import preprocess
+
+    preprocess("CTGCN-C", {"CTGCN-C": {
+        "base_path": dataset, "origin_folder": "1.format",
+        "core_folder": "cores", "node_file": "nodes_set/nodes.csv",
+        "walk_pair_folder": "walk_pairs", "node_freq_folder": "node_freq",
+        "file_sep": "\t", "walk_time": 5, "walk_length": 3, "worker": -1,
+    }}["CTGCN-C"])
+    assert os.path.isdir(os.path.join(dataset, "cores", "t0"))
+    assert os.path.isdir(os.path.join(dataset, "walk_pairs"))
+    return dataset
+
+
+@pytest.mark.integration
+def test_gcn_unsupervised_end_to_end(preprocessed):
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    gnn_embedding("GCN", _embed_args(preprocessed, "GCN", duration=1))
+    emb_dir = os.path.join(preprocessed, "2.embedding", "GCN")
+    files = sorted(os.listdir(emb_dir))
+    assert files == ["t0.csv", "t1.csv", "t2.csv"]
+    df = pd.read_csv(os.path.join(emb_dir, files[0]), sep="\t", index_col=0)
+    assert df.shape == (N_NODES, 8)
+    assert np.isfinite(df.values).all()
+
+
+@pytest.mark.integration
+def test_ctgcn_c_unsupervised_end_to_end(preprocessed):
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C", core_folder="cores", max_core=-1,
+        trans_layer_num=1, diffusion_layer_num=2, model_type="C",
+        rnn_type="GRU", trans_activate_type="L"))
+    emb_dir = os.path.join(preprocessed, "2.embedding", "CTGCN-C")
+    assert len(os.listdir(emb_dir)) == N_SNAPSHOTS
+
+
+@pytest.mark.integration
+def test_link_prediction_end_to_end(preprocessed):
+    from ctgcn_tpu.evaluation.link_prediction import link_prediction
+
+    link_prediction({
+        "base_path": preprocessed, "origin_folder": "1.format",
+        "embed_folder": "2.embedding", "node_file": "nodes_set/nodes.csv",
+        "lp_edge_folder": "lp_data", "lp_res_folder": "lp_res",
+        "file_sep": "\t", "start_idx": 0, "rep_num": 1, "train_ratio": 0.5,
+        "val_ratio": 0.3, "test_ratio": 0.2, "do_lp": True, "generate": True,
+        "aggregate": False, "method_list": ["GCN"],
+        "c_list": [0.1, 1], "measure_list": ["Avg", "Had", "L1", "L2"],
+        "max_iter": 500, "worker": -1,
+    })
+    rec = pd.read_csv(os.path.join(preprocessed, "lp_res_0",
+                                   "GCN_auc_record.csv"))
+    assert rec.shape[0] == N_SNAPSHOTS - 1  # t>=1, previous-embedding conv.
+    assert ((rec[["Avg", "Had", "L1", "L2"]] >= 0).values.all()
+            and (rec[["Avg", "Had", "L1", "L2"]] <= 1).values.all())
+
+
+@pytest.mark.integration
+def test_supervised_node_classification_end_to_end(preprocessed):
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    gnn_embedding("GCN", _embed_args(
+        preprocessed, "GCN-Snode", model_file="gcn_snode", duration=1,
+        learning_type="S-node", nlabel_folder="nodes_label",
+        cls_hid_dim=8, cls_layer_num=1, cls_bias=True,
+        cls_activate_type="N", cls_file="gcn_snode_cls"))
+    emb_dir = os.path.join(preprocessed, "2.embedding", "GCN-Snode")
+    assert len(os.listdir(emb_dir)) == N_SNAPSHOTS
+
+
+@pytest.mark.integration
+def test_supervised_link_dy_end_to_end(preprocessed):
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C-dy", model_file="ctgcn_dy",
+        core_folder="cores", max_core=-1, trans_layer_num=1,
+        diffusion_layer_num=1, model_type="C", rnn_type="GRU",
+        trans_activate_type="L", learning_type="S-link-dy"))
+    emb_dir = os.path.join(preprocessed, "2.embedding", "CTGCN-C-dy")
+    assert len(os.listdir(emb_dir)) >= N_SNAPSHOTS - 1
+
+
+@pytest.mark.integration
+def test_node_classification_eval_end_to_end(preprocessed):
+    from ctgcn_tpu.evaluation.node_classification import node_classification
+
+    node_classification({
+        "base_path": preprocessed, "origin_folder": "1.format",
+        "embed_folder": "2.embedding", "node_file": "nodes_set/nodes.csv",
+        "nlabel_folder": "nodes_label", "nodecls_data_folder": "nc_data",
+        "nodecls_res_folder": "nc_res", "file_sep": "\t", "start_idx": 0,
+        "rep_num": 1, "train_ratio": 0.7, "val_ratio": 0.2,
+        "test_ratio": 0.1, "do_nodecls": True, "generate": True,
+        "aggregate": False, "method_list": ["GCN"], "c_list": [1],
+        "max_iter": 300, "worker": -1,
+    })
+    rec = pd.read_csv(os.path.join(preprocessed, "nc_res_0",
+                                   "GCN_acc_record.csv"))
+    assert rec.shape[0] == N_SNAPSHOTS
+    assert (rec["acc"] >= 0).all()

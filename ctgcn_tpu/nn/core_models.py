@@ -77,11 +77,14 @@ class CoreDiffusion:
         K = pyramid.num_slots
 
         if pyramid.dense is not None:
-            # one batched MXU matmul: [K, N, N] @ [N, d]
+            # one batched MXU matmul: [K, N, N] @ [N, d]; HIGHEST precision
+            # keeps full-f32 numerics (default bf16 passes drift ~0.3% on
+            # high-degree rows, breaking reference parity)
             contribs = jax.lax.dot_general(
                 pyramid.dense, x.astype(pyramid.dense.dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         else:
             # one flattened gather + segment-sum over all K slots
             flat_cols = pyramid.cols.reshape(-1)

@@ -42,9 +42,8 @@ def build_dynamic_graph(file_path, output_dir, node_dir, sep="\t",
     df_graph["from_id"] = "U" + df_graph["from_id"]
     df_graph["to_id"] = "U" + df_graph["to_id"]
 
-    node_arr = pd.concat([df_graph["from_id"], df_graph["to_id"]],
-                         axis=0).unique()
-    node_arr.sort()
+    node_arr = sorted(pd.concat([df_graph["from_id"], df_graph["to_id"]],
+                                axis=0).unique().tolist())
     pd.DataFrame(node_arr, columns=["node"]).to_csv(
         os.path.join(node_dir, "nodes.csv"), sep="\t", index=False,
         header=False)

@@ -23,7 +23,7 @@ import pandas as pd
 
 from ctgcn_tpu.data.loader import DataLoader
 from ctgcn_tpu import losses as L
-from ctgcn_tpu.nn import CGCN, CTGCN, MLPClassifier, EdgeClassifier, inner_product
+from ctgcn_tpu.nn import CGCN, CTGCN, MLPClassifier, EdgeClassifier
 from ctgcn_tpu.nn.gcn import GCN, GCRN
 from ctgcn_tpu.training.engine import SupervisedEmbedding, UnsupervisedEmbedding
 from ctgcn_tpu.utils import (

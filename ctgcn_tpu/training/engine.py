@@ -53,11 +53,17 @@ def load_params(template, path):
 
 
 def batch_matrix(node_num, batch_size, key=None, shuffle=True):
-    """Split node ids into a padded [batch_num, batch_size] matrix + mask."""
+    """Split node ids into a padded [batch_num, batch_size] matrix + mask.
+
+    The permutation runs host-side (numpy): a per-epoch device round trip
+    for a tiny op costs more than it saves, and the reference's
+    ``torch.randperm`` is unseeded anyway (statistical parity only).
+    """
     order = np.arange(node_num)
     if shuffle:
-        assert key is not None
-        order = np.asarray(jax.random.permutation(key, node_num))
+        rng = (np.random.default_rng(np.asarray(jax.random.key_data(key)))
+               if key is not None else np.random)
+        order = rng.permutation(node_num)
     batch_num = -(-node_num // batch_size)
     padded = np.zeros(batch_num * batch_size, np.int32)
     mask = np.zeros(batch_num * batch_size, bool)

@@ -164,3 +164,41 @@ def test_node_classification_eval_end_to_end(preprocessed):
                                    "GCN_acc_record.csv"))
     assert rec.shape[0] == N_SNAPSHOTS
     assert (rec["acc"] >= 0).all()
+
+
+@pytest.mark.integration
+def test_checkpoint_resume(preprocessed):
+    """load_model=True must resume from the saved pytree checkpoint."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+    from ctgcn_tpu.training.engine import load_params
+    from ctgcn_tpu.nn.gcn import GCN
+
+    args = _embed_args(preprocessed, "GCN-resume", model_file="gcn_resume",
+                       duration=1, end_idx=0, epoch=2)
+    gnn_embedding("GCN", dict(args))
+    ckpt = os.path.join(preprocessed, "model", "gcn_resume")
+    assert os.path.exists(ckpt)
+    # template with the same shapes loads the saved state
+    import jax
+    template = GCN.init(jax.random.key(0), 40, 12, 8, dropout=0.5)
+    loaded = load_params(template, ckpt)
+    first = np.asarray(loaded.gc1.weight)
+    # resume: train 1 more epoch from the checkpoint; weights must move but
+    # the run must start from the saved state (not re-init)
+    args2 = dict(args)
+    args2.update(epoch=1, load_model=True)
+    gnn_embedding("GCN", args2)
+    loaded2 = load_params(template, ckpt)
+    second = np.asarray(loaded2.gc1.weight)
+    assert not np.allclose(first, second)  # trained further
+
+
+@pytest.mark.integration
+def test_tg_alias_routes_to_native_impl(preprocessed):
+    """Tg* method names must route to the same TPU-native conv."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    gnn_embedding("TgGCN", _embed_args(
+        preprocessed, "TgGCN", model_file="tggcn", duration=1, end_idx=0))
+    emb_dir = os.path.join(preprocessed, "2.embedding", "TgGCN")
+    assert len(os.listdir(emb_dir)) == 1

@@ -333,6 +333,16 @@ def build_link_splits(edge_list, node_num, train_ratio, val_ratio, test_ratio,
     return out
 
 
+def _vgrnn_dense_bank(adjs):
+    """Dense [T, N, N] reconstruction target for the VAE loss (the reference
+    densifies adj inside VAELoss too, metrics.py:144)."""
+    from ctgcn_tpu.ops.sparse import to_dense
+
+    return jax.vmap(
+        lambda t: to_dense(jax.tree.map(lambda a: a[t], adjs)))(
+            jnp.arange(adjs.rows.shape[0]))
+
+
 def _binary_auc(preds, labels, mask):
     from sklearn.metrics import roc_auc_score
 
@@ -467,13 +477,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
                                                 d["walk"], k_samp,
                                                 neg_num=neg_num, Q=Q)
         elif is_vgrnn:  # U-own: VAE loss (reference train.py:184-186)
-            from ctgcn_tpu.ops.sparse import to_dense
-
             eps = args.get("eps", 1e-10)
-            adjs = data["adjs"]
-            data["vae_adj_dense"] = jax.vmap(
-                lambda t: to_dense(jax.tree.map(lambda a: a[t], adjs)))(
-                    jnp.arange(adjs.rows.shape[0]))
+            data["vae_adj_dense"] = _vgrnn_dense_bank(data["adjs"])
 
             def loss_fn(m, d, b_idx, b_mask, k):
                 _, _, (em, es, pm, ps, dec) = fwd(m, d, k)
@@ -537,9 +542,10 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         def forward_fn(models, d, items, k):
             m, cls = models
             res = fwd(m, d, k)
-            embs = res[0] if is_s_variant else res
+            embs = res[0] if (is_s_variant or is_vgrnn) else res
             preds = jax.vmap(lambda e, i: cls.mlp(e[i]))(embs, items)
-            return preds, embs, (res[1] if is_s_variant else None)
+            return preds, embs, (res[1] if is_s_variant
+                                 else (res[2] if is_vgrnn else None))
 
         def loss_fn(preds, labels, mask, aux):
             loss, acc = L.classification_loss(preds, labels, n_class,
@@ -561,13 +567,14 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         def forward_fn(models, d, items, k):
             m, cls = models
             res = fwd(m, d, k)
-            embs = res[0] if is_s_variant else res
+            embs = res[0] if (is_s_variant or is_vgrnn) else res
             # items: [T, B, 2] edge endpoints
             def per_t(e, it):
                 feats = e[it[:, 0]] * e[it[:, 1]]
                 return cls.classifier.mlp(feats)
             preds = jax.vmap(per_t)(embs, items)
-            return preds, embs, (res[1] if is_s_variant else None)
+            return preds, embs, (res[1] if is_s_variant
+                                 else (res[2] if is_vgrnn else None))
 
         def loss_fn(preds, labels, mask, aux):
             return L.classification_loss(preds, labels, n_class, mask=mask)
@@ -583,12 +590,13 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         def forward_fn(models, d, items, k):
             m, _ = models
             res = fwd(m, d, k)
-            embs = res[0] if is_s_variant else res
+            embs = res[0] if (is_s_variant or is_vgrnn) else res
             used = embs[:-1] if drop_last else embs
             def per_t(e, it):
                 return jnp.sum(e[it[:, 0]] * e[it[:, 1]], axis=-1)
             preds = jax.vmap(per_t)(used, items)
-            return preds, embs, (res[1] if is_s_variant else None)
+            return preds, embs, (res[1] if is_s_variant
+                                 else (res[2] if is_vgrnn else None))
 
         def loss_fn(preds, labels, mask, aux):
             return L.classification_loss(preds, labels, n_class, mask=mask)
@@ -610,10 +618,33 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         def forward_fn(models, d, items, k):  # noqa: F811
             preds, embs, trans = inner_forward(models, d, items, k)
             return preds, embs, (embs, trans)
+    elif is_vgrnn:
+        # VAEClassificationLoss (reference metrics.py:233-247, wired at
+        # train.py:214-216 / embedding.py:200-206): VAE terms on the model's
+        # (enc, prior, dec) outputs + the classification loss.
+        eps = args.get("eps", 1e-10)
+        data["vae_adj_dense"] = _vgrnn_dense_bank(data["adjs"])
+        base_loss = loss_fn
+
+        def loss_fn(preds, labels, mask, aux):  # noqa: F811
+            loss, acc = base_loss(preds, labels, mask, None)
+            (em, es, pm, ps, dec), adj_dense = aux
+            vae = L.vae_loss(em, es, pm, ps, dec, adj_dense, eps=eps)
+            return loss + vae, acc
+
+        inner_forward = forward_fn
+
+        def forward_fn(models, d, items, k):  # noqa: F811
+            preds, embs, loss_data = inner_forward(models, d, items, k)
+            return preds, embs, (loss_data, d["vae_adj_dense"])
 
     def embed_fn(models, d):
         res = fwd(models[0], d, None)
-        return res[1] if is_s_variant else res
+        if is_s_variant:
+            return res[1]
+        if is_vgrnn:
+            return res[0]
+        return res
 
     trainer = SupervisedEmbedding(
         base_path=base_path, origin_folder=origin_folder,

@@ -147,6 +147,23 @@ def test_supervised_link_dy_end_to_end(preprocessed):
 
 
 @pytest.mark.integration
+def test_vgrnn_supervised_link_end_to_end(preprocessed):
+    """Supervised VGRNN = VAEClassificationLoss (reference metrics.py:233-247
+    via train.py:214-216): VAE terms + link classification."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    gnn_embedding("VGRNN", _embed_args(
+        preprocessed, "VGRNN-Slink", model_file="vgrnn_slink",
+        learning_type="S-link-st", eps=1e-10, conv_type="GCN"))
+    emb_dir = os.path.join(preprocessed, "2.embedding", "VGRNN-Slink")
+    files = sorted(os.listdir(emb_dir))
+    assert len(files) == N_SNAPSHOTS
+    df = pd.read_csv(os.path.join(emb_dir, files[0]), sep="\t", index_col=0)
+    assert df.shape == (N_NODES, 8)
+    assert np.isfinite(df.values).all()
+
+
+@pytest.mark.integration
 def test_node_classification_eval_end_to_end(preprocessed):
     from ctgcn_tpu.evaluation.node_classification import node_classification
 

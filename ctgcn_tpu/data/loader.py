@@ -86,15 +86,17 @@ class DataLoader:
     # ------------------------------------------------------------------
     def get_core_adj_list(self, core_base_path, start_idx, duration,
                           max_core=-1, stacked=True,
-                          dense_budget_bytes=4 << 30):
+                          dense_budget_bytes=4 << 30, core_backend="auto"):
         """K-core pyramid bank (reference helper.py:51-82 semantics:
         truncate to max_core, reverse so max core first, +I on the first,
         delta-skip as validity masks).
 
-        When the whole window's dense [T, K, N, N] mirror fits in
-        ``dense_budget_bytes`` the pyramids also carry dense slots so
-        CoreDiffusion runs on the MXU instead of gather/scatter (TPU gathers
-        run far below HBM bandwidth; see ops/pyramid.py)."""
+        Backend policy (``core_backend``):
+          * ``"auto"``: dense [T, K, N, N] mirror when it fits
+            ``dense_budget_bytes`` (small graphs: one batched MXU matmul
+            beats everything), else Pallas BSR plans (large graphs where the
+            dense mirror is unaffordable — Facebook N=60k is 14+ GB/slot).
+          * ``"dense"`` / ``"pallas"`` / ``"segment"``: force one path."""
         date_dirs = sorted_dir(core_base_path)
         assert start_idx < len(date_dirs)
         window = list(self._window(start_idx, duration))
@@ -116,11 +118,18 @@ class DataLoader:
         cap = pad_bucket(max_nnz)
         dense_bytes = (len(per_snap_mats) * num_slots
                        * self.node_num * self.node_num * 4)
-        densify = (dense_budget_bytes is not None
-                   and dense_bytes <= dense_budget_bytes)
+        if core_backend == "auto":
+            densify = (dense_budget_bytes is not None
+                       and dense_bytes <= dense_budget_bytes)
+            build_plans = not densify
+        else:
+            assert core_backend in ("dense", "pallas", "segment"), core_backend
+            densify = core_backend == "dense"
+            build_plans = core_backend == "pallas"
         pyramids = [
             build_core_pyramid(mats, self.node_num, num_slots=num_slots,
-                               pad_to=cap, densify=densify)
+                               pad_to=cap, densify=densify,
+                               build_plans=build_plans)
             for mats in per_snap_mats
         ]
         return stack_pyramids(pyramids) if stacked else pyramids

@@ -85,6 +85,15 @@ class CoreDiffusion:
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
+        elif pyramid.plan_fwd is not None:
+            # Pallas BSR: all K slot products as one block-diagonal kernel
+            # call (the large-graph regime where [K, N, N] dense is
+            # unaffordable; see ops/pallas_spmm.build_pyramid_plans)
+            from ctgcn_tpu.ops.pallas_spmm import pyramid_spmm
+
+            contribs = pyramid_spmm(
+                pyramid.plan_fwd, pyramid.plan_t, x.astype(jnp.float32),
+                K, n, interpret=jax.default_backend() == "cpu")
         else:
             # one flattened gather + segment-sum over all K slots
             flat_cols = pyramid.cols.reshape(-1)
@@ -178,10 +187,17 @@ class CGCN:
         return emb
 
     def __call__(self, xs, pyramids):
-        """xs: [T, N, in] or None (identity); pyramids: stacked [T, ...]."""
+        """xs: [T, N, in] or None (identity); pyramids: stacked [T, ...].
+
+        The Pallas-plan path runs the snapshots through ``lax.map`` (a
+        hand-DMA'd pallas_call has no vmap batching rule; one big kernel per
+        snapshot serializes cleanly)."""
+        use_map = pyramids.plan_fwd is not None
         if xs is None:
             fn = lambda pyr: self.single(None, pyr)
-            res = jax.vmap(fn)(pyramids)
+            res = jax.lax.map(fn, pyramids) if use_map else jax.vmap(fn)(pyramids)
+        elif use_map:
+            res = jax.lax.map(lambda a: self.single(*a), (xs, pyramids))
         else:
             res = jax.vmap(self.single)(xs, pyramids)
         return res  # [T, N, out] or (embs, trans) for 'S'
@@ -236,9 +252,17 @@ class CTGCN:
             emb = cdn(trans, pyr)
             return emb, trans
 
+        use_map = pyramids.plan_fwd is not None
         if xs is None:
             fn = lambda mlp, cdn, pyr: per_t(mlp, cdn, None, pyr)
-            hx, trans = jax.vmap(fn)(self.mlps, self.cdns, pyramids)
+            if use_map:
+                hx, trans = jax.lax.map(lambda a: fn(*a),
+                                        (self.mlps, self.cdns, pyramids))
+            else:
+                hx, trans = jax.vmap(fn)(self.mlps, self.cdns, pyramids)
+        elif use_map:
+            hx, trans = jax.lax.map(lambda a: per_t(*a),
+                                    (self.mlps, self.cdns, xs, pyramids))
         else:
             hx, trans = jax.vmap(per_t)(self.mlps, self.cdns, xs, pyramids)
         # hx: [T, N, out] — time-axis RNN (batch = nodes), then LayerNorm

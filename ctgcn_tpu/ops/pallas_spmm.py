@@ -39,43 +39,52 @@ class BlockPlan:
     blocks:    f32[NB, BLOCK, BLOCK] dense nonempty blocks, sorted by row
                tile.
     block_col: int32[NB] column-tile index per block.
+    block_row: int32[NB] row-tile index per block (non-decreasing).
     row_ptr:   int32[R+1] block range per row tile.
     n_rows / n_cols: padded (multiple of BLOCK) output/input sizes (static).
     """
 
     blocks: jnp.ndarray
     block_col: jnp.ndarray
+    block_row: jnp.ndarray
     row_ptr: jnp.ndarray
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
 
 
 def build_block_plan(mat, block=BLOCK) -> BlockPlan:
-    """scipy sparse matrix → forward BlockPlan (host side)."""
-    import scipy.sparse as sp
+    """scipy sparse matrix → forward BlockPlan (host side).
 
+    Every row tile is guaranteed at least one block (zero-filler blocks are
+    appended for empty tiles), so the grid-over-blocks kernel defines every
+    output tile without aliasing tricks."""
     coo = mat.tocoo()
     n_rows = -(-mat.shape[0] // block) * block
     n_cols = -(-mat.shape[1] // block) * block
+    c_tiles = n_cols // block
+    r_tiles = n_rows // block
     rt = coo.row // block
     ct = coo.col // block
-    key = rt.astype(np.int64) * (n_cols // block) + ct
+    key = rt.astype(np.int64) * c_tiles + ct
     uniq, inv = np.unique(key, return_inverse=True)
-    nb = len(uniq)
-    blocks = np.zeros((max(nb, 1), block, block), np.float32)
+    # zero-filler blocks (col tile 0) for row tiles with no data
+    empty_rt = np.setdiff1d(np.arange(r_tiles, dtype=np.int64),
+                            uniq // c_tiles)
+    all_keys = np.sort(np.concatenate([uniq, empty_rt * c_tiles]))
+    nb = len(all_keys)
+    blocks = np.zeros((nb, block, block), np.float32)
+    slot_of_uniq = np.searchsorted(all_keys, uniq)
     np.add.at(blocks,
-              (inv, coo.row % block, coo.col % block),
+              (slot_of_uniq[inv], coo.row % block, coo.col % block),
               coo.data.astype(np.float32))
-    u_rt = (uniq // (n_cols // block)).astype(np.int32)
-    u_ct = (uniq % (n_cols // block)).astype(np.int32)
-    r_tiles = n_rows // block
+    u_rt = (all_keys // c_tiles).astype(np.int32)
+    u_ct = (all_keys % c_tiles).astype(np.int32)
     row_ptr = np.zeros(r_tiles + 1, np.int32)
     np.add.at(row_ptr[1:], u_rt, 1)
     row_ptr = np.cumsum(row_ptr).astype(np.int32)
-    if nb == 0:
-        u_ct = np.zeros((1,), np.int32)
     return BlockPlan(blocks=jnp.asarray(blocks),
                      block_col=jnp.asarray(u_ct),
+                     block_row=jnp.asarray(u_rt),
                      row_ptr=jnp.asarray(row_ptr),
                      n_rows=int(n_rows), n_cols=int(n_cols))
 
@@ -134,10 +143,61 @@ def _spmm_kernel(row_ptr_ref, block_col_ref, blocks_hbm, x_hbm, out_ref,
     out_ref[:] = acc_ref[:]
 
 
+def _spmm_v2_kernel(block_row_ref, block_col_ref, blocks_ref, x_ref,
+                    out_ref):
+    """Grid over blocks; x resident in VMEM; out tile = accumulator.
+
+    block_row is non-decreasing, so each output tile is visited by one
+    consecutive run of programs; Pallas pipelines the block stream and
+    flushes the out buffer when the (scalar-prefetched) out index advances.
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    row = block_row_ref[b]
+    prev_row = block_row_ref[jnp.maximum(b - 1, 0)]
+    is_first = jnp.logical_or(b == 0, row != prev_row)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ct = block_col_ref[b]
+    out_ref[:] += jnp.dot(
+        blocks_ref[0], x_ref[pl.ds(pl.multiple_of(ct * BLOCK, BLOCK), BLOCK), :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+# x copies whose VMEM footprint stays under this live fully on-chip and use
+# the grid-over-blocks kernel; larger x falls back to the manual-DMA kernel
+_V2_X_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 def _block_spmm_raw(plan: BlockPlan, x: jnp.ndarray,
                     interpret=False) -> jnp.ndarray:
     """x: [n_cols, d] (d multiple of 128) → [n_rows, d]."""
     d = x.shape[1]
+    nb = plan.blocks.shape[0]
+    if plan.n_cols * d * 4 <= _V2_X_VMEM_BUDGET:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, BLOCK, BLOCK), lambda b, br, bc: (b, 0, 0),
+                             memory_space=pltpu.VMEM),   # block stream
+                pl.BlockSpec((plan.n_cols, d), lambda b, br, bc: (0, 0),
+                             memory_space=pltpu.VMEM),   # x resident
+            ],
+            out_specs=pl.BlockSpec((BLOCK, d), lambda b, br, bc: (br[b], 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            _spmm_v2_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((plan.n_rows, d), jnp.float32),
+            interpret=interpret,
+        )(plan.block_row, plan.block_col, plan.blocks, x)
+
     r_tiles = plan.n_rows // BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -203,3 +263,74 @@ def spmm_pallas(g, x):
 
     fwd_plan, t_plan = build_block_plans(to_scipy(g))
     return block_spmm(fwd_plan, t_plan, x)[:g.n_rows]
+
+
+# ---------------------------------------------------------------------------
+# Core-pyramid plans: the K per-slot SpMMs of CoreDiffusion as ONE kernel
+# ---------------------------------------------------------------------------
+
+def pad_block_plan(plan: BlockPlan, nb: int) -> BlockPlan:
+    """Pad the block bank to ``nb`` entries (tail blocks sit past
+    ``row_ptr[-1]`` and are never visited by the kernel), so plans from
+    different snapshots stack into [T, ...] leaves."""
+    cur = plan.blocks.shape[0]
+    assert cur <= nb, f"plan has {cur} blocks > pad target {nb}"
+    if cur == nb:
+        return plan
+    blocks = jnp.zeros((nb, plan.blocks.shape[1], plan.blocks.shape[2]),
+                       plan.blocks.dtype).at[:cur].set(plan.blocks)
+    block_col = jnp.zeros((nb,), plan.block_col.dtype).at[:cur].set(
+        plan.block_col)
+    # padding blocks repeat the last real row tile: the v2 kernel visits
+    # them (grid = NB) but they are all-zero, so the accumulator is
+    # unchanged and the flush rewrites the same tile's value
+    last_rt = plan.block_row[cur - 1]
+    block_row = jnp.full((nb,), last_rt, plan.block_row.dtype).at[:cur].set(
+        plan.block_row)
+    return BlockPlan(blocks=blocks, block_col=block_col, block_row=block_row,
+                     row_ptr=plan.row_ptr,
+                     n_rows=plan.n_rows, n_cols=plan.n_cols)
+
+
+def build_pyramid_plans(slot_mats, n_nodes, num_slots, block=BLOCK):
+    """BSR plans for a whole k-core pyramid (reference layers.py:43-45 hot op).
+
+    The K per-slot products ``A_k @ x`` are one block-diagonal sparse matmul:
+    stack the slot matrices vertically into [K*Np, Np] (Np = N padded to the
+    block size) so a single pallas_call produces all slot contributions, and
+    its transpose [Np, K*Np] serves the VJP (dx = sum_k A_k^T g_k).
+
+    Args:
+      slot_mats: list of scipy [N, N] matrices, one per KEPT slot in order
+        (missing/invalid slots simply absent — they contribute no blocks but
+        their row-tile range stays empty).  Each entry is (slot_index, mat).
+    Returns (fwd_plan, t_plan).
+    """
+    import scipy.sparse as sp
+
+    np_pad = -(-n_nodes // block) * block
+    rows, cols, vals = [], [], []
+    for k, mat in slot_mats:
+        coo = mat.tocoo()
+        keep = coo.data != 0
+        rows.append(coo.row[keep].astype(np.int64) + k * np_pad)
+        cols.append(coo.col[keep].astype(np.int64))
+        vals.append(coo.data[keep].astype(np.float32))
+    if rows:
+        r = np.concatenate(rows)
+        c = np.concatenate(cols)
+        v = np.concatenate(vals)
+    else:
+        r = np.zeros(0, np.int64)
+        c = np.zeros(0, np.int64)
+        v = np.zeros(0, np.float32)
+    stacked = sp.coo_matrix((v, (r, c)), shape=(num_slots * np_pad, np_pad))
+    return build_block_plan(stacked, block), build_block_plan(stacked.T, block)
+
+
+def pyramid_spmm(fwd_plan: BlockPlan, t_plan: BlockPlan, x, num_slots,
+                 n_nodes, interpret=False):
+    """All K slot products of a CorePyramid: x [N, d] → [K, N, d]."""
+    out = block_spmm(fwd_plan, t_plan, x, interpret=interpret)
+    np_pad = fwd_plan.n_cols
+    return out.reshape(num_slots, np_pad, -1)[:, :n_nodes, :]

@@ -38,6 +38,13 @@ class CorePyramid:
     # k-core SpMMs are fastest as one batched dense matmul; the loader
     # materializes this when the memory budget allows.
     dense: jnp.ndarray | None = None
+    # Optional Pallas BSR plans (ops/pallas_spmm.BlockPlan): the whole
+    # pyramid's K slot products as ONE block-diagonal [K*Np, Np] kernel call
+    # plus its transpose for the VJP.  Built by the loader when the dense
+    # mirror would blow the memory budget (Facebook/Enron scale); plan leaves
+    # are ordinary pytree arrays so they stack over T and live inside jit.
+    plan_fwd: object | None = None
+    plan_t: object | None = None
 
     @property
     def num_slots(self) -> int:
@@ -50,7 +57,7 @@ class CorePyramid:
 
 def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
                        add_eye_first=True, drop_empty_delta=True,
-                       densify=False, dense_dtype=None):
+                       densify=False, dense_dtype=None, build_plans=False):
     """Build a CorePyramid from scipy matrices ordered max-core-first.
 
     Args:
@@ -114,9 +121,16 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
         dense = _densify_on_device(rows_j, cols_j, vals_j, n_nodes,
                                    dtype=dense_dtype or jnp.float32)
 
+    plan_fwd = plan_t = None
+    if build_plans:
+        from ctgcn_tpu.ops.pallas_spmm import build_pyramid_plans
+
+        plan_fwd, plan_t = build_pyramid_plans(
+            list(enumerate(kept)), n_nodes, K)
+
     return CorePyramid(rows=rows_j, cols=cols_j, vals=vals_j,
                        valid=jnp.asarray(valid), n_nodes=int(n_nodes),
-                       dense=dense)
+                       dense=dense, plan_fwd=plan_fwd, plan_t=plan_t)
 
 
 @functools.partial(jax.jit, static_argnums=(3,), static_argnames=("dtype",))
@@ -130,7 +144,20 @@ def _densify_on_device(rows, cols, vals, n_nodes, dtype=jnp.float32):
 
 
 def stack_pyramids(pyramids):
-    """Stack per-snapshot pyramids (same K, P) into [T, K, P] leaves."""
+    """Stack per-snapshot pyramids (same K, P) into [T, K, P] leaves.
+
+    BSR plans (when present) are first padded to the window-max block count
+    so their leaves stack too (padding blocks are unreachable via row_ptr)."""
     import jax
 
+    if pyramids and pyramids[0].plan_fwd is not None:
+        from ctgcn_tpu.ops.pallas_spmm import pad_block_plan
+
+        nb_f = max(p.plan_fwd.blocks.shape[0] for p in pyramids)
+        nb_t = max(p.plan_t.blocks.shape[0] for p in pyramids)
+        pyramids = [
+            p.replace(plan_fwd=pad_block_plan(p.plan_fwd, nb_f),
+                      plan_t=pad_block_plan(p.plan_t, nb_t))
+            for p in pyramids
+        ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *pyramids)

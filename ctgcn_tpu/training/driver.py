@@ -81,8 +81,10 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
                                           sep=file_sep)
     neighbor_data = None
     if method in get_core_based_methods():
-        adjs = data_loader.get_core_adj_list(core_base_path, idx, time_length,
-                                             max_core=args["max_core"])
+        adjs = data_loader.get_core_adj_list(
+            core_base_path, idx, time_length, max_core=args["max_core"],
+            core_backend=args.get("core_backend", "auto"),
+            dense_budget_bytes=args.get("dense_budget_bytes", 4 << 30))
     else:
         # GIN aggregates center+neighbors together (+I) when not learn_eps
         # (reference baseline/gin.py:120-133)

@@ -24,30 +24,52 @@ from ctgcn_tpu.data.formats import get_sp_adj_mat, read_node_list, sorted_dir
 from ctgcn_tpu.utils import check_and_make_path, get_format_str
 
 
+def _csr_rows_concat(indptr, indices, rows):
+    """Concatenated neighbor lists of ``rows`` from CSR structure, without a
+    Python per-row loop (repeat/arange range-gather trick)."""
+    starts = indptr[rows]
+    counts = indptr[rows + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return indices[:0]
+    offsets = np.repeat(np.cumsum(counts) - counts, counts)
+    flat = np.repeat(starts, counts) + (np.arange(total) - offsets)
+    return indices[flat]
+
+
 def core_numbers(adj) -> np.ndarray:
-    """Vectorized k-core peeling.
+    """O(E) k-core peeling (Batagelj–Zaveršnik by degree waves).
+
+    Peels whole waves of sub-``k``-degree vertices at once, decrementing
+    neighbor degrees with one ``np.subtract.at`` over the wave's
+    concatenated CSR neighbor lists — each edge is touched at most twice
+    over the entire run, unlike the per-pass ``A[:, alive]`` column
+    re-materialization this replaces (quadratic-ish on AS-scale inputs).
 
     Args:
       adj: scipy sparse [N, N] symmetric adjacency (weights ignored —
         peeling uses connectivity degree, like nx.core_number).
     Returns int array of core numbers per node (isolated nodes → 0).
     """
-    A = adj.tocsr().astype(bool).astype(np.int64)
+    A = adj.tocsr().astype(bool).astype(np.int8)
+    A.eliminate_zeros()
+    indptr, indices = A.indptr, A.indices
     n = A.shape[0]
-    deg = np.asarray(A.sum(axis=1)).flatten().astype(np.int64)
+    deg = np.diff(indptr).astype(np.int64)
     core = np.zeros(n, dtype=np.int64)
     alive = deg > 0
+    n_alive = int(alive.sum())
     k = 1
-    while alive.any():
-        # peel everything of degree < k within the alive subgraph
+    while n_alive:
         while True:
-            cur_deg = np.asarray(
-                A[:, alive].sum(axis=1)).flatten()
-            peel = alive & (cur_deg < k)
-            if not peel.any():
+            wave = np.flatnonzero(alive & (deg < k))
+            if wave.size == 0:
                 break
-            alive &= ~peel
-        if not alive.any():
+            alive[wave] = False
+            n_alive -= wave.size
+            nbrs = _csr_rows_concat(indptr, indices, wave)
+            np.subtract.at(deg, nbrs, 1)
+        if not n_alive:
             break
         core[alive] = k
         k += 1

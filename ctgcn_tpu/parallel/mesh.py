@@ -45,6 +45,41 @@ def time_sharding_for(mesh, tree, axis_name="time"):
     return jax.tree.map(lambda _: t_spec, tree)
 
 
+def embedding_shardings(mesh, model, data, time_length, axis_name="time"):
+    """Per-leaf shardings for the PRODUCT embedding pipeline (the config's
+    ``n_devices`` key routes UnsupervisedEmbedding / SupervisedEmbedding
+    through these — SURVEY §2.5 disposition: time-axis parallel first).
+
+    Policy: model leaves under time-stacked containers (``mlps`` / ``cdns``
+    / ``gcns`` — per-timestep distinct parameter stacks) shard over the
+    mesh's time axis, as does every data leaf whose leading dim equals the
+    window length; everything else replicates.  GSPMD propagates from these
+    input placements (per-timestep MLP+CDN forwards run fully parallel; the
+    [T, N, d] all-gather feeding the temporal RNN and the grad psum ride
+    ICI).  Uneven T vs mesh size is fine — GSPMD pads internally.
+
+    Returns (model_shardings, data_shardings) pytrees.
+    """
+    t_sharding = NamedSharding(mesh, P(axis_name))
+    r_sharding = NamedSharding(mesh, P())
+    stacked = {"mlps", "cdns", "gcns"}
+
+    def model_spec(path, leaf):
+        top = path[0].name if path and hasattr(path[0], "name") else ""
+        return t_sharding if top in stacked else r_sharding
+
+    m_shard = jax.tree_util.tree_map_with_path(model_spec, model)
+
+    def data_spec(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == time_length):
+            return t_sharding
+        return r_sharding
+
+    d_shard = jax.tree.map(data_spec, data)
+    return m_shard, d_shard
+
+
 def make_ctgcn_train_step(mesh, model_template, optimizer, loss_fn,
                           axis_name="time", donate=True):
     """Build a jitted sharded CTGCN train step.

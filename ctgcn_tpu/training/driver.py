@@ -377,6 +377,35 @@ def _multiclass_auc(preds, labels, mask, n_class):
 # the window loop
 # ---------------------------------------------------------------------------
 
+def _make_product_mesh(args, time_length):
+    """Config key ``n_devices`` (>1) routes the embedding task through the
+    sharded trainers (parallel/mesh.embedding_shardings): per-timestep
+    MLP+CDN stacks and [T]-leading data leaves spread over a ``time``-axis
+    device mesh.  Absent/0/1 → single-device (the default, reference
+    posture).
+
+    The mesh's time axis must divide the window length (XLA shards the
+    leading [T] axis evenly), so the requested count is clamped to the
+    largest divisor of ``time_length`` — e.g. UCI's T=7 window on 8 chips
+    uses 7.  Windows whose length is coprime with every usable count fall
+    back to single-device with a notice."""
+    n = args.get("n_devices", 0)
+    if not n or n <= 1:
+        return None
+    import jax
+
+    n = min(n, len(jax.devices()))
+    while n > 1 and time_length % n != 0:
+        n -= 1
+    if n <= 1:
+        print(f"n_devices: no divisor of T={time_length} in range; "
+              f"running single-device")
+        return None
+    from ctgcn_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n)
+
+
 def gnn_embedding(method, args):
     base_path = args["base_path"]
     origin_folder = args["origin_folder"]
@@ -508,7 +537,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
             base_path=base_path, origin_folder=origin_folder,
             embedding_folder=embedding_folder, node_list=node_list,
             model=model, loss_fn=loss_fn, embed_fn=embed_fn, data=data,
-            model_folder=model_folder)
+            model_folder=model_folder, mesh=_make_product_mesh(args, time_length),
+            time_length=time_length)
         return trainer.learn_embedding(
             epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
             weight_decay=weight_decay, model_file=model_file,
@@ -653,7 +683,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         embedding_folder=embedding_folder, node_list=node_list, model=model,
         classifier=classifier, forward_fn=forward_fn, loss_fn=loss_fn,
         embed_fn=embed_fn, data=data, auc_fn=auc_fn,
-        model_folder=model_folder)
+        model_folder=model_folder, mesh=_make_product_mesh(args, time_length),
+        time_length=time_length)
     tr, va, te = splits["train"], splits["val"], splits["test"]
     return trainer.learn_embedding(
         tr[0], tr[1], tr[2], va[0], va[1], va[2], te[0], te[1], te[2],

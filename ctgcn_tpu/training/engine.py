@@ -120,12 +120,15 @@ class UnsupervisedEmbedding(BaseEmbedding):
     """
 
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
-                 model, loss_fn, embed_fn, data, model_folder="model"):
+                 model, loss_fn, embed_fn, data, model_folder="model",
+                 mesh=None, time_length=None):
         super().__init__(base_path, origin_folder, embedding_folder,
                          node_list, model, model_folder=model_folder)
         self.loss_fn = loss_fn
         self.embed_fn = embed_fn
         self.data = data
+        self.mesh = mesh
+        self.time_length = time_length
 
     def learn_embedding(self, epoch=50, batch_size=1024, lr=1e-3,
                         start_idx=0, weight_decay=0.0, model_file="ctgcn",
@@ -135,6 +138,17 @@ class UnsupervisedEmbedding(BaseEmbedding):
         model_path = os.path.join(self.model_base_path, model_file or "")
         if load_model and model_file and os.path.exists(model_path):
             model = load_params(model, model_path)
+
+        if self.mesh is not None:
+            # multi-chip: time-stacked model/data leaves onto the mesh's
+            # time axis, rest replicated; GSPMD propagates through the
+            # jitted epoch (see parallel/mesh.embedding_shardings)
+            from ctgcn_tpu.parallel.mesh import embedding_shardings
+
+            m_shard, d_shard = embedding_shardings(
+                self.mesh, model, self.data, self.time_length)
+            model = jax.tree.map(jax.device_put, model, m_shard)
+            self.data = jax.tree.map(jax.device_put, self.data, d_shard)
 
         optimizer = make_optimizer(lr, weight_decay)
         opt_state = optimizer.init(model)
@@ -199,7 +213,8 @@ class SupervisedEmbedding(BaseEmbedding):
 
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
                  model, classifier, forward_fn, loss_fn, embed_fn, data,
-                 auc_fn=None, model_folder="model"):
+                 auc_fn=None, model_folder="model", mesh=None,
+                 time_length=None):
         super().__init__(base_path, origin_folder, embedding_folder,
                          node_list, model, model_folder=model_folder)
         self.classifier = classifier
@@ -208,6 +223,8 @@ class SupervisedEmbedding(BaseEmbedding):
         self.embed_fn = embed_fn
         self.auc_fn = auc_fn
         self.data = data
+        self.mesh = mesh
+        self.time_length = time_length
 
     def learn_embedding(self, idx_train, label_train, mask_train, idx_val,
                         label_val, mask_val, idx_test, label_test, mask_test,
@@ -223,6 +240,14 @@ class SupervisedEmbedding(BaseEmbedding):
             if classifier_file and os.path.exists(cls_path):
                 c = load_params(models[1], cls_path)
             models = (m, c)
+
+        if self.mesh is not None:
+            from ctgcn_tpu.parallel.mesh import embedding_shardings
+
+            m_shard, d_shard = embedding_shardings(
+                self.mesh, models, self.data, self.time_length)
+            models = jax.tree.map(jax.device_put, models, m_shard)
+            self.data = jax.tree.map(jax.device_put, self.data, d_shard)
 
         optimizer = make_optimizer(lr, weight_decay)
         opt_state = optimizer.init(models)

@@ -146,21 +146,36 @@ def run_case(name, mat, d, iters, results, try_dense=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--case", choices=["uci", "facebook", "all"],
+                    default="all")
     args = ap.parse_args()
     iters = 10 if args.quick else 50
 
-    results = {}
-    # UCI scale
-    uci = powerlaw_graph(1899, 32, seed=0)
-    run_case("uci_scale", uci, 128, iters, results, try_dense=True)
-    # Facebook scale
-    fb = powerlaw_graph(60730, 20, seed=1)
-    run_case("facebook_scale", fb, 128, iters, results, try_dense=False)
+    # persistent XLA cache: compiles run locally on this 4-cpu host and
+    # take minutes cold — resumable runs are mandatory
+    import jax
+    cache_dir = os.path.expanduser("~/.cache/ctgcn_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "data", "bench_spmm_backends.json")
-    with open(out, "w") as fp:
-        json.dump(results, fp, indent=1)
+    results = {}
+    if os.path.exists(out):
+        with open(out) as fp:
+            results = json.load(fp)
+
+    if args.case in ("uci", "all"):
+        uci = powerlaw_graph(1899, 32, seed=0)
+        run_case("uci_scale", uci, 128, iters, results, try_dense=True)
+        with open(out, "w") as fp:
+            json.dump(results, fp, indent=1)
+    if args.case in ("facebook", "all"):
+        fb = powerlaw_graph(60730, 20, seed=1)
+        run_case("facebook_scale", fb, 128, iters, results, try_dense=False)
+        with open(out, "w") as fp:
+            json.dump(results, fp, indent=1)
     print("\nwrote", out)
 
 

@@ -100,6 +100,31 @@ def test_ctgcn_c_unsupervised_end_to_end(preprocessed):
 
 
 @pytest.mark.integration
+def test_ctgcn_c_multichip_pipeline_matches_single_device(preprocessed):
+    """The PRODUCT path on a mesh: config key n_devices=8 routes
+    gnn_embedding through the time-sharded trainers; exported embeddings
+    must match the single-device run (same seed)."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    common = dict(core_folder="cores", max_core=-1, trans_layer_num=1,
+                  diffusion_layer_num=2, model_type="C", rnn_type="GRU",
+                  trans_activate_type="L", seed=123)
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_1dev", model_file="ctgcn_1dev", **common))
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_8dev", model_file="ctgcn_8dev",
+        n_devices=8, **common))
+    d1 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_1dev")
+    d8 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_8dev")
+    files = sorted(os.listdir(d1))
+    assert files == sorted(os.listdir(d8)) and len(files) == N_SNAPSHOTS
+    for f in files:
+        a = pd.read_csv(os.path.join(d1, f), sep="\t", index_col=0).values
+        b = pd.read_csv(os.path.join(d8, f), sep="\t", index_col=0).values
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.integration
 def test_link_prediction_end_to_end(preprocessed):
     from ctgcn_tpu.evaluation.link_prediction import link_prediction
 

@@ -111,6 +111,24 @@ def run_case(name, mat, d, iters, results, try_dense=False):
               f"{tf:6.2f} TF/s ({100*tf/MXU_F32_TFLOPS:.1f}% MXU f32)")
 
     # --- Pallas BSR, raw order and degree-sorted ---
+    # BSR is only viable when block fill is adequate: at Facebook-scale
+    # sparsity (N=60k, fill 0.03-0.26% across block shapes/orders) the
+    # block bank alone is 1.7-14 GB for 4 MB of data — the gather/segment
+    # formulation carries that regime (see data/bench_spmm_backends.json)
+    rt = (-(-n // BLOCK))
+    key = (mat.tocoo().row // BLOCK).astype(np.int64) * rt + \
+        (mat.tocoo().col // BLOCK)
+    nb_est = len(np.unique(key))
+    if nb_est * BLOCK * BLOCK * 4 > 2 << 30:
+        results[f"{name}/bsr_skipped"] = {
+            "reason": "block bank infeasible",
+            "nb_est": int(nb_est),
+            "fill_est": nnz / (nb_est * BLOCK * BLOCK),
+            "blocks_gb": nb_est * BLOCK * BLOCK * 4 / 1e9}
+        print(f"bsr: SKIPPED (NB~{nb_est}, fill "
+              f"{100*nnz/(nb_est*BLOCK*BLOCK):.3f}%, "
+              f"{nb_est*BLOCK*BLOCK*4/1e9:.1f} GB block bank)")
+        return
     for order in ("raw", "degsort"):
         if order == "degsort":
             perm = degree_sort_perm(mat)

@@ -8,8 +8,8 @@ import scipy.sparse as sp
 
 from ctgcn_tpu.parallel.mesh import make_mesh
 from ctgcn_tpu.parallel.graph_partition import (
-    PartitionedGraph, partition_graph, place_partitioned, sharded_spmm,
-    sharded_gcn_layer,
+    PartitionedGraph, partition_graph, partition_graph_halo,
+    place_partitioned, sharded_spmm, sharded_spmm_halo, sharded_gcn_layer,
 )
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -82,3 +82,64 @@ def test_sharded_gcn_layer_grads(big_graph, rng):
     gw_ref = jax.grad(ref_loss)(jnp.asarray(w_np), jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), rtol=1e-3,
                                atol=1e-4)
+
+
+@needs_8
+def test_halo_spmm_matches_all_gather(big_graph, rng):
+    """Boundary-exchange SpMM vs the all-gather version (VERDICT r1 #3):
+    same numerics, comms volume bounded by the halo size not N."""
+    mesh = make_mesh(8, axis_name="graph")
+    hpg = partition_graph_halo(big_graph, 8)
+    hpg = jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P("graph")))
+        if hasattr(leaf, "shape") and leaf.ndim and leaf.shape[0] == 8
+        else leaf, hpg)
+    pg = place_partitioned(mesh, partition_graph(big_graph, 8))
+    n = big_graph.shape[0]
+    d = 32
+    x_np = rng.randn(hpg.n_rows, d).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np), NamedSharding(mesh, P("graph")))
+
+    out_halo = jax.jit(lambda x: sharded_spmm_halo(mesh, hpg, x))(x)
+    out_ag = sharded_spmm(mesh, pg, x)
+    np.testing.assert_allclose(np.asarray(out_halo)[:n],
+                               np.asarray(out_ag)[:n], rtol=1e-4, atol=1e-4)
+    expected = big_graph.toarray() @ x_np[:n]
+    np.testing.assert_allclose(np.asarray(out_halo)[:n], expected,
+                               rtol=1e-4, atol=1e-4)
+    # a uniformly random graph has no locality — halo degenerates to the
+    # full gather (comm == n_rows); a banded graph (locality, the realistic
+    # partitioned case) must ship strictly less than all-gather would
+    assert hpg.comm_rows_per_chip <= hpg.n_rows
+    band = sp.diags([np.ones(400 - abs(o)) for o in (-4, -2, 0, 2, 4)],
+                    [-4, -2, 0, 2, 4], shape=(400, 400)).tocoo()
+    hb = partition_graph_halo(band, 8)
+    assert hb.comm_rows_per_chip < hb.n_rows // 4
+
+
+@needs_8
+def test_halo_spmm_grads(big_graph, rng):
+    mesh = make_mesh(8, axis_name="graph")
+    hpg = partition_graph_halo(big_graph, 8)
+    hpg = jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P("graph")))
+        if hasattr(leaf, "shape") and leaf.ndim and leaf.shape[0] == 8
+        else leaf, hpg)
+    n = big_graph.shape[0]
+    d = 16
+    x_np = rng.randn(hpg.n_rows, d).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np), NamedSharding(mesh, P("graph")))
+
+    def loss(x):
+        return jnp.sum(jnp.tanh(sharded_spmm_halo(mesh, hpg, x)))
+
+    gx = jax.jit(jax.grad(loss))(x)
+    A = big_graph.toarray()
+
+    def ref_loss(x):
+        y = jnp.asarray(A) @ x[:n]
+        return jnp.sum(jnp.tanh(y))
+
+    gx_ref = jax.grad(ref_loss)(jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(gx)[:n], np.asarray(gx_ref)[:n],
+                               rtol=1e-3, atol=1e-4)

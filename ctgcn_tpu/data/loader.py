@@ -94,8 +94,11 @@ class DataLoader:
         Backend policy (``core_backend``):
           * ``"auto"``: dense [T, K, N, N] mirror when it fits
             ``dense_budget_bytes`` (small graphs: one batched MXU matmul
-            beats everything), else Pallas BSR plans (large graphs where the
-            dense mirror is unaffordable — Facebook N=60k is 14+ GB/slot).
+            beats everything); else Pallas BSR plans IF the block bank is
+            affordable (the 128x128-block plan degenerates at very sparse
+            scatter — a Facebook-scale synthetic measures 0.03% fill and a
+            14 GB bank, see data/bench_spmm_backends.json — so the fill is
+            estimated host-side first); else the gather/segment path.
           * ``"dense"`` / ``"pallas"`` / ``"segment"``: force one path."""
         date_dirs = sorted_dir(core_base_path)
         assert start_idx < len(date_dirs)
@@ -122,6 +125,8 @@ class DataLoader:
             densify = (dense_budget_bytes is not None
                        and dense_bytes <= dense_budget_bytes)
             build_plans = not densify
+            if build_plans:
+                build_plans = self._bsr_plan_affordable(per_snap_mats)
         else:
             assert core_backend in ("dense", "pallas", "segment"), core_backend
             densify = core_backend == "dense"
@@ -133,6 +138,26 @@ class DataLoader:
             for mats in per_snap_mats
         ]
         return stack_pyramids(pyramids) if stacked else pyramids
+
+    @staticmethod
+    def _bsr_plan_affordable(per_snap_mats, budget_bytes=1 << 30, block=128):
+        """Host-side estimate of the stacked BSR block banks; False when the
+        Pallas plan would cost more HBM than it is worth (→ segment path)."""
+        total = 0
+        for mats in per_snap_mats:
+            nb = 0
+            for m in mats:
+                coo = m.tocoo()
+                if coo.nnz == 0:
+                    continue
+                c_tiles = -(-m.shape[1] // block)
+                key = ((coo.row // block).astype(np.int64) * c_tiles
+                       + coo.col // block)
+                nb += len(np.unique(key))
+            total = max(total, nb)  # plans pad to the window max
+        # fwd + transpose plan, all snapshots share the padded bank size
+        return (total * block * block * 4 * 2
+                * len(per_snap_mats)) <= budget_bytes
 
     # ------------------------------------------------------------------
     # walk artifacts → WalkData

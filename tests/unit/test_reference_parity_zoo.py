@@ -295,3 +295,252 @@ def test_evolvegcn_parity(ref_path, egcn_type):
         ref_out = np.stack([r.numpy() for r in ref_list])
     got = np.asarray(ours(jnp.asarray(np.stack(xs)), stack_graphs(graphs)))
     np.testing.assert_allclose(got, ref_out, rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# VGRNN — graph-GRU VAE, full T=3 recurrence with eps→0 determinization
+# (reference baseline/vgrnn.py:417-533; GCNConv +2I renorm at 179-192)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def torch_scatter_shims():
+    """Functional shims for the torch_scatter / torch_geometric surface the
+    reference VGRNN touches (the real packages are not installed)."""
+    import torch
+
+    def scatter_add(src, index, dim=0, out=None, dim_size=None):
+        assert dim == 0 and out is None
+        size = dim_size if dim_size is not None else int(index.max()) + 1
+        res = torch.zeros((size,) + tuple(src.shape[1:]), dtype=src.dtype)
+        return res.index_add_(0, index, src)
+
+    def scatter_mean(src, index, dim=0, out=None, dim_size=None):
+        s = scatter_add(src, index, dim, out, dim_size)
+        cnt = scatter_add(torch.ones_like(src[..., :1] if src.dim() > 1
+                                          else src), index, dim, None,
+                          dim_size)
+        return s / cnt.clamp(min=1)
+
+    def scatter_max(src, index, dim=0, out=None, dim_size=None):
+        size = dim_size if dim_size is not None else int(index.max()) + 1
+        res = torch.full((size,) + tuple(src.shape[1:]), -1e38,
+                         dtype=src.dtype)
+        res = res.scatter_reduce(0, index.view(-1, *([1] * (src.dim() - 1)))
+                                 .expand_as(src), src, reduce="amax")
+        return res, None
+
+    ts = sys.modules["torch_scatter"]
+    ts.scatter_add = scatter_add
+    ts.scatter_mean = scatter_mean
+    ts.scatter_max = scatter_max
+
+    tg = sys.modules["torch_geometric"]
+    utils = types.ModuleType("torch_geometric.utils")
+
+    def add_self_loops(edge_index, num_nodes=None):
+        loop = torch.arange(num_nodes, dtype=edge_index.dtype)
+        return torch.cat([edge_index, torch.stack([loop, loop])], dim=1), \
+            None
+
+    def remove_self_loops(edge_index, edge_attr=None):
+        mask = edge_index[0] != edge_index[1]
+        return edge_index[:, mask], edge_attr
+
+    utils.add_self_loops = add_self_loops
+    utils.remove_self_loops = remove_self_loops
+    tg.utils = utils
+    sys.modules["torch_geometric.utils"] = utils
+    yield
+
+
+def test_vgrnn_parity(ref_path, torch_scatter_shims, monkeypatch):
+    import torch
+    import scipy.sparse as ssp
+    import jax
+    import jax.numpy as jnp
+    from baseline.vgrnn import VGRNN as RefVGRNN
+    from ctgcn_tpu.nn.vgrnn import VGRNN, GraphConv, GraphGRU
+    from ctgcn_tpu.nn.layers import Linear
+    from ctgcn_tpu.ops.sparse import from_scipy
+    from ctgcn_tpu.data.loader import stack_graphs
+
+    rng = np.random.RandomState(5)
+    # input_dim == n: the reference sizes its hidden state with x.size(1)
+    # (vgrnn.py:490 — the feature dim, not the node count), which only
+    # works because its driver feeds N×N identity features
+    n, hid, dout, T = 24, 10, 6, 3
+    din = n
+    t_model = RefVGRNN(din, hid, dout, rnn_layer_num=1, conv_type="GCN",
+                       bias=True)
+    t_model.eval()
+    # determinize the reparameterization on both sides: eps == 0 → z = mean
+    monkeypatch.setattr(torch, "randn",
+                        lambda *s, **kw: torch.zeros(*s))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape, *a, **kw: jnp.zeros(shape))
+
+    def map_lin(seq):
+        return _map_linear(seq[0] if hasattr(seq, "__getitem__") else seq)
+
+    def map_conv(t_c):
+        return GraphConv(weight=_to_jnp(t_c.weight),
+                         bias=_to_jnp(t_c.bias)
+                         if t_c.bias is not None else None,
+                         conv_type="GCN")
+
+    t_rnn = t_model.rnn
+    ours = VGRNN(
+        phi_x=map_lin(t_model.phi_x), phi_z=map_lin(t_model.phi_z),
+        enc=map_conv(t_model.enc), enc_mean=map_conv(t_model.enc_mean),
+        enc_std=map_conv(t_model.enc_std),
+        prior=map_lin(t_model.prior),
+        prior_mean=map_lin(t_model.prior_mean),
+        prior_std=map_lin(t_model.prior_std),
+        rnn=GraphGRU(
+            xz=tuple(map_conv(c) for c in t_rnn.weight_xz),
+            hz=tuple(map_conv(c) for c in t_rnn.weight_hz),
+            xr=tuple(map_conv(c) for c in t_rnn.weight_xr),
+            hr=tuple(map_conv(c) for c in t_rnn.weight_hr),
+            xh=tuple(map_conv(c) for c in t_rnn.weight_xh),
+            hh=tuple(map_conv(c) for c in t_rnn.weight_hh)),
+        hidden_dim=hid, rnn_layer_num=1, conv_type="GCN")
+
+    xs, t_x, t_edges, graphs = [], [], [], []
+    for t in range(T):
+        adj = _toy_adj(rng, n, p=0.2)
+        x = rng.randn(n, din).astype(np.float32)
+        xs.append(x)
+        t_x.append(torch.from_numpy(x))
+        coo = adj.tocoo()
+        t_edges.append(torch.from_numpy(
+            np.vstack([coo.row, coo.col])).long())
+        # the driver's precomputed D^-1/2 (A_bin + 2I) D^-1/2 (improved
+        # renormalization the reference conv rebuilds per call)
+        b = (adj.tocsr() != 0).astype(np.float64)
+        M = b + 2.0 * ssp.eye(n)
+        d = np.asarray(M.sum(axis=1)).flatten()
+        dinv = np.where(d > 0, d ** -0.5, 0.0)
+        D = ssp.diags(dinv)
+        graphs.append(from_scipy((D @ M @ D).tocoo(), pad_to=1024))
+    with torch.no_grad():
+        emb_list, h_ref, loss_data = t_model(t_x, t_edges)
+    embs, h, (em, es, pm, ps, dec) = ours(jnp.asarray(np.stack(xs)),
+                                          stack_graphs(graphs))
+    np.testing.assert_allclose(
+        np.asarray(embs), np.stack([e.numpy() for e in emb_list]),
+        rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(h), h_ref.numpy(), rtol=5e-4,
+                               atol=5e-5)
+    for mine, theirs in [(es, loss_data[1]), (pm, loss_data[2]),
+                         (ps, loss_data[3]), (dec, loss_data[4])]:
+        np.testing.assert_allclose(
+            np.asarray(mine), np.stack([t.numpy() for t in theirs]),
+            rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# PGNN — anchor-set message passing with fixed anchors
+# (reference baseline/pgnn.py:145-267)
+# ---------------------------------------------------------------------------
+
+def test_pgnn_parity(ref_path):
+    import torch
+    import jax.numpy as jnp
+    from baseline.pgnn import PGNN as RefPGNN
+    from ctgcn_tpu.nn.pgnn import PGNN, PGNNLayer, Nonlinear
+
+    rng = np.random.RandomState(6)
+    n, din, feat, hid, dout, A = 30, 12, 8, 10, 6, 7
+    t_model = RefPGNN(din, feat, hid, dout, feature_pre=True, layer_num=2,
+                      dropout=0.0)
+    t_model.eval()
+
+    def map_layer(t_l):
+        return PGNNLayer(
+            dist_compute=Nonlinear(
+                linear1=_map_linear(t_l.dist_compute.linear1),
+                linear2=_map_linear(t_l.dist_compute.linear2)),
+            linear_hidden=_map_linear(t_l.linear_hidden),
+            linear_out_position=_map_linear(t_l.linear_out_position))
+
+    ours = PGNN(linear_pre=_map_linear(t_model.linear_pre),
+                conv_first=map_layer(t_model.conv_first),
+                conv_hidden=(), conv_out=map_layer(t_model.conv_out),
+                layer_num=2, dropout=0.0)
+
+    x = rng.randn(n, din).astype(np.float32)
+    dists_max = rng.rand(n, A).astype(np.float32)
+    dists_argmax = rng.randint(0, n, (n, A))
+    with torch.no_grad():
+        ref_out = t_model.pgnn(torch.from_numpy(x),
+                               torch.from_numpy(dists_max),
+                               torch.from_numpy(dists_argmax)).numpy()
+    got = np.asarray(ours.single(jnp.asarray(x), jnp.asarray(dists_max),
+                                 jnp.asarray(dists_argmax)))
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DynAE / DynRNN — autoencoder cells (reference dynAE.py:52-76, dynRNN.py)
+# ---------------------------------------------------------------------------
+
+def test_dynae_parity(ref_path):
+    import torch
+    import jax.numpy as jnp
+    from baseline.dynAE import DynAE as RefDynAE
+    from ctgcn_tpu.nn.dynae import DynAE, ReluMLP
+
+    rng = np.random.RandomState(7)
+    n, dout, lb = 40, 12, 2
+    t_model = RefDynAE(n, dout, look_back=lb, n_units=[24, 16])
+    t_model.eval()
+
+    def map_mlp(t_mlp):
+        return ReluMLP(layers=tuple(_map_linear(l)
+                                    for l in t_mlp.layer_list))
+
+    ours = DynAE(encoder=map_mlp(t_model.encoder),
+                 decoder=map_mlp(t_model.decoder), look_back=lb)
+    x = rng.rand(5, n * lb).astype(np.float32)
+    with torch.no_grad():
+        hx_ref, pred_ref = t_model(torch.from_numpy(x))
+    hx, pred = ours(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(hx), hx_ref.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred), pred_ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _map_lstm(t_lstm):
+    from ctgcn_tpu.ops.rnn import LSTMCell
+
+    return LSTMCell(w_ih=_to_jnp(t_lstm.weight_ih_l0),
+                    w_hh=_to_jnp(t_lstm.weight_hh_l0),
+                    b_ih=_to_jnp(t_lstm.bias_ih_l0),
+                    b_hh=_to_jnp(t_lstm.bias_hh_l0))
+
+
+def test_dynrnn_parity(ref_path):
+    import torch
+    import jax.numpy as jnp
+    from baseline.dynRNN import DynRNN as RefDynRNN
+    from ctgcn_tpu.nn.dynae import DynRNN, MLLSTM
+
+    rng = np.random.RandomState(8)
+    n, dout, lb = 20, 8, 3
+    t_model = RefDynRNN(n, dout, look_back=lb, n_units=[16, 12])
+    t_model.eval()
+
+    def map_mllstm(t_m):
+        return MLLSTM(cells=tuple(_map_lstm(l) for l in t_m.layer_list))
+
+    ours = DynRNN(encoder=map_mllstm(t_model.encoder),
+                  decoder=map_mllstm(t_model.decoder), look_back=lb)
+    x = rng.rand(4, lb, n).astype(np.float32)
+    with torch.no_grad():
+        hx_ref, pred_ref = t_model(torch.from_numpy(x))
+    hx, pred = ours(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(hx), hx_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred), pred_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)

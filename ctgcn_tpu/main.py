@@ -33,6 +33,24 @@ def _enable_compilation_cache():
         print("compilation cache disabled:", exc)
 
 
+def _maybe_init_distributed():
+    """Multi-host entry (SURVEY §5 'distributed communication backend'):
+    when the standard JAX cluster variables are present
+    (``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``, or an auto-detectable environment like GKE/Cloud
+    TPU]), join the cluster so ``jax.devices()`` spans all hosts and the
+    ``n_devices`` mesh path shards over ICI within a slice and DCN across
+    hosts.  Single-host runs (no coordinator configured) skip this."""
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    import jax
+
+    jax.distributed.initialize()
+    print(f"jax.distributed: process {jax.process_index()} of "
+          f"{jax.process_count()}, {jax.local_device_count()} local / "
+          f"{jax.device_count()} global devices")
+
+
 def parse_args(argv):
     parser = argparse.ArgumentParser(
         prog="ctgcn_tpu",
@@ -76,6 +94,7 @@ def embedding_task(method, args):
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     _enable_compilation_cache()
+    _maybe_init_distributed()
     config_dict = parse_json_args(args.config[0])
 
     if args.task == "preprocessing":

@@ -448,6 +448,15 @@ def gnn_embedding(method, args):
           f"duration = {duration}")
     print(f"start {method} embedding! (ctgcn_tpu)")
     key = jax.random.key(seed)
+    # config key ``profile_dir``: capture a device trace of the whole
+    # window loop (XLA ops, fusion boundaries, transfer timelines) viewable
+    # in TensorBoard/Perfetto — the jax.profiler analogue of the
+    # reference's wall-clock prints (SURVEY §5 tracing row)
+    profile_dir = args.get("profile_dir")
+    profile_cm = (jax.profiler.trace(os.path.abspath(profile_dir))
+                  if profile_dir else None)
+    if profile_cm is not None:
+        profile_cm.__enter__()
     for widx, idx in enumerate(range(start_idx, end_idx, step)):
         print(f"idx = {idx}, duration = {duration}")
         time_length = min(idx + duration, end_idx) - idx
@@ -471,6 +480,10 @@ def gnn_embedding(method, args):
                            weight_decay, load_model, shuffle, export,
                            seed + widx)
         time_list.append(cost)
+
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {profile_dir}")
 
     if record_time:
         pd.DataFrame({"time": time_list}).to_csv(
@@ -548,6 +561,14 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
     # supervised learning types
     # ------------------------------------------------------------------
     embed_dim = args["embed_dim"]
+    if method == "PGNN":
+        # PGNN's embedding width is the anchor-set count (~log²N), NOT
+        # embed_dim — the reference builds its S-node classifier with
+        # embed_dim (train.py:204) and crashes on the dim mismatch; the
+        # true output width is used here so S-node PGNN actually runs.
+        from ctgcn_tpu.nn.pgnn import anchor_sizes
+
+        embed_dim = len(anchor_sizes(data_loader.node_num, c=1.0))
     cls_hidden = args.get("cls_hid_dim", embed_dim)
     cls_layer_num = args.get("cls_layer_num", 1)
     cls_bias = args.get("cls_bias", True)

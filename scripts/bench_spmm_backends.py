@@ -110,6 +110,38 @@ def run_case(name, mat, d, iters, results, try_dense=False):
         print(f"dense:   {dt*1e3:8.3f} ms  {nnz/dt/1e6:8.1f}M edges/s  "
               f"{tf:6.2f} TF/s ({100*tf/MXU_F32_TFLOPS:.1f}% MXU f32)")
 
+    # --- Pallas streaming gather SpMM (the very-sparse-regime kernel) ---
+    try:
+        from ctgcn_tpu.ops.pallas_stream_spmm import (
+            E_BLOCK, build_stream_plan, _stream_spmm_raw, _pad_rows,
+        )
+
+        plan = build_stream_plan(mat)
+        nbk = plan.rows.shape[0]
+        xp = jnp.asarray(np.zeros((plan.n_cols, d), np.float32))
+        xp = xp.at[:n].set(x)
+        f_stream = jax.jit(lambda x: _stream_spmm_raw(plan, x))
+        dt = bench(f_stream, xp, iters)
+        out = np.asarray(f_stream(xp))[:n]
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        # traffic: edge streams (3*4B/slot) + x strips (once per (rt,cs)
+        # pair) + out tiles once
+        strips = len({(int(a), int(b)) for a, b in
+                      zip(np.asarray(plan.block_rt),
+                          np.asarray(plan.block_cs))})
+        bytes_moved = (nbk * E_BLOCK * 12 + strips * 16384 * d * 4
+                       + plan.n_rows * d * 4)
+        gbps = bytes_moved / dt / 1e9
+        results[f"{name}/stream"] = {
+            "ms": dt * 1e3, "edges_per_s": nnz / dt, "blocks": int(nbk),
+            "hbm_gbps": gbps, "hbm_frac": gbps / HBM_GBPS,
+            "max_rel_err": float(err)}
+        print(f"stream:  {dt*1e3:8.3f} ms  {nnz/dt/1e6:8.1f}M edges/s  "
+              f"NB={nbk}  ~{gbps:6.1f} GB/s  err={err:.2e}")
+    except Exception as exc:  # Mosaic may reject the dynamic gather
+        results[f"{name}/stream"] = {"error": str(exc)[:500]}
+        print(f"stream:  FAILED ({str(exc)[:200]})")
+
     # --- Pallas BSR, raw order and degree-sorted ---
     # BSR is only viable when block fill is adequate: at Facebook-scale
     # sparsity (N=60k, fill 0.03-0.26% across block shapes/orders) the

@@ -8,10 +8,10 @@ co-occurrence artifacts become padded device arrays (``WalkData``) and
 sampling runs with ``jax.random`` inside jit:
 
   * ≤ ``neg_num`` positive partners per batch node — when the node has more
-    co-occurrence partners than ``neg_num``, partners are drawn uniformly
-    (with replacement; the reference samples without — statistically
-    equivalent at these sizes and RNG parity is impossible anyway, see
-    SURVEY §7.3);
+    co-occurrence partners than ``neg_num``, ``neg_num`` DISTINCT partners
+    are drawn by Gumbel top-k (exact without-replacement uniform sampling
+    with static shapes — the reference's ``random.sample`` semantics,
+    metrics.py:74);
   * ``neg_num`` shared negatives per (timestamp, batch) drawn from the
     unigram^0.75 table via ``jax.random.categorical`` — this replaces the
     reference's replicated-node-list + ``random.sample``;
@@ -67,9 +67,15 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
         slot = jnp.arange(S)[None, :]                 # [1, S]
         n_valid = jnp.minimum(deg, S)[:, None]        # [B, 1]
         slot_valid = (slot < n_valid) & batch_mask[:, None]
-        # partner slot selection: all partners when deg <= S, else uniform
-        rand_j = jax.random.randint(kpos, (B, S), 0, jnp.maximum(deg, 1)[:, None])
-        j = jnp.where(deg[:, None] <= S, slot, rand_j)
+        # partner slot selection: all partners when deg <= S, else S
+        # DISTINCT partners via Gumbel top-k — exact without-replacement
+        # uniform sampling with static shapes, matching the reference's
+        # random.sample semantics (metrics.py:74)
+        maxnei = neighbors.shape[1]
+        gumbel = jax.random.gumbel(kpos, (B, maxnei))
+        nbr_valid = jnp.arange(maxnei)[None, :] < deg[:, None]
+        _, topk_j = jax.lax.top_k(jnp.where(nbr_valid, gumbel, -jnp.inf), S)
+        j = jnp.where(deg[:, None] <= S, slot, topk_j)
         pos_idx = jnp.take_along_axis(neighbors[batch_idx], j, axis=1)  # [B, S]
 
         e_node = emb[batch_idx]                       # [B, d]

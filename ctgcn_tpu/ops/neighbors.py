@@ -33,8 +33,9 @@ def neighbor_table_from_scipy(mats):
 
 def sample_neighbors(nbr_t, deg_t, num_sample, key):
     """Per-node neighbor sample (reference sage.py:41-43 semantics):
-    all neighbors when deg < num_sample, else ``num_sample`` distinct ones —
-    approximated with replacement for fixed shapes.
+    all neighbors when deg < num_sample, else ``num_sample`` DISTINCT ones
+    via Gumbel top-k — exact without-replacement uniform sampling with
+    static shapes (the reference's ``random.sample``).
 
     Returns (idx int32[N, S], mask bool[N, S]).
     """
@@ -42,8 +43,13 @@ def sample_neighbors(nbr_t, deg_t, num_sample, key):
     s = num_sample
     slots = jnp.arange(s)[None, :]
     take_all = deg_t[:, None] < s  # strictly: sample when deg >= num_sample
-    rand = jax.random.randint(key, (n, s), 0, jnp.maximum(deg_t, 1)[:, None])
-    j = jnp.where(take_all, jnp.minimum(slots, d - 1), rand)
+    gumbel = jax.random.gumbel(key, (n, d))
+    nbr_valid = jnp.arange(d)[None, :] < deg_t[:, None]
+    _, topk_j = jax.lax.top_k(jnp.where(nbr_valid, gumbel, -jnp.inf),
+                              min(s, d))
+    if topk_j.shape[1] < s:  # max table width below num_sample
+        topk_j = jnp.pad(topk_j, ((0, 0), (0, s - topk_j.shape[1])))
+    j = jnp.where(take_all, jnp.minimum(slots, d - 1), topk_j)
     idx = jnp.take_along_axis(nbr_t, j, axis=1)
     mask = jnp.where(take_all, slots < deg_t[:, None], True)
     mask = mask & (deg_t[:, None] > 0)

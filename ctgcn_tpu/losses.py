@@ -74,7 +74,11 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
         maxnei = neighbors.shape[1]
         gumbel = jax.random.gumbel(kpos, (B, maxnei))
         nbr_valid = jnp.arange(maxnei)[None, :] < deg[:, None]
-        _, topk_j = jax.lax.top_k(jnp.where(nbr_valid, gumbel, -jnp.inf), S)
+        _, topk_j = jax.lax.top_k(jnp.where(nbr_valid, gumbel, -jnp.inf),
+                                  min(S, maxnei))
+        if topk_j.shape[1] < S:   # table narrower than neg_num: the extra
+            topk_j = jnp.pad(     # slots are dead (slot_valid masks them)
+                topk_j, ((0, 0), (0, S - topk_j.shape[1])))
         j = jnp.where(deg[:, None] <= S, slot, topk_j)
         pos_idx = jnp.take_along_axis(neighbors[batch_idx], j, axis=1)  # [B, S]
 

@@ -143,3 +143,45 @@ def test_halo_spmm_grads(big_graph, rng):
     gx_ref = jax.grad(ref_loss)(jnp.asarray(x_np))
     np.testing.assert_allclose(np.asarray(gx)[:n], np.asarray(gx_ref)[:n],
                                rtol=1e-3, atol=1e-4)
+
+
+@needs_8
+def test_pipelined_rnn_scan_matches_plain(rng):
+    """GPipe-style temporal pipeline (parallel/pipeline.py) vs plain scan."""
+    import jax.numpy as jnp
+    from ctgcn_tpu.ops.rnn import GRUCell, LSTMCell, rnn_scan
+    from ctgcn_tpu.parallel.pipeline import pipelined_rnn_scan
+
+    mesh = make_mesh(8, axis_name="stage")
+    T, N, d, H = 16, 64, 12, 10
+    xs = jnp.asarray(rng.randn(T, N, d).astype(np.float32))
+    for cell_cls in (GRUCell, LSTMCell):
+        cell = cell_cls.init(jax.random.key(0), d, H)
+        ys_ref, _ = rnn_scan(cell, xs)
+        ys_pipe = pipelined_rnn_scan(mesh, cell, xs)
+        np.testing.assert_allclose(np.asarray(ys_pipe), np.asarray(ys_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@needs_8
+def test_pipelined_rnn_scan_grads(rng):
+    import jax.numpy as jnp
+    from ctgcn_tpu.ops.rnn import GRUCell, rnn_scan
+    from ctgcn_tpu.parallel.pipeline import pipelined_rnn_scan
+
+    mesh = make_mesh(8, axis_name="stage")
+    T, N, d, H = 8, 32, 6, 5
+    xs = jnp.asarray(rng.randn(T, N, d).astype(np.float32))
+    cell = GRUCell.init(jax.random.key(1), d, H)
+
+    def loss_pipe(cell, xs):
+        return jnp.sum(jnp.tanh(pipelined_rnn_scan(mesh, cell, xs)))
+
+    def loss_ref(cell, xs):
+        return jnp.sum(jnp.tanh(rnn_scan(cell, xs)[0]))
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(cell, xs)
+    g_ref = jax.grad(loss_ref)(cell, xs)
+    for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)

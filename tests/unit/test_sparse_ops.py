@@ -115,3 +115,25 @@ def test_normalize_scipy_adj(toy_adj):
     dinv1 = np.where(d > 0, 1.0 / d, 0.0)
     np.testing.assert_allclose(row, dinv1[:, None] * toy_adj.toarray(),
                                rtol=1e-6)
+
+
+def test_neg_sampling_loss_narrow_neighbor_table(rng):
+    """neg_num larger than the walk table width must not crash the Gumbel
+    top-k positive sampler (regression: dryrun_multichip's tiny shapes)."""
+    from ctgcn_tpu.losses import WalkData, negative_sampling_loss
+
+    T, N, d, maxnei, S = 3, 16, 8, 2, 5  # maxnei < neg_num
+    embs = jnp.asarray(rng.randn(T, N, d).astype(np.float32))
+    neighbors = jnp.asarray(
+        rng.randint(0, N, size=(T, N, maxnei)).astype(np.int32))
+    degrees = jnp.asarray(rng.randint(0, maxnei + 1, size=(T, N)).astype(np.int32))
+    walk = WalkData(neighbors=neighbors, degrees=degrees,
+                    neg_logits=jnp.zeros((T, N), np.float32))
+    loss = jax.jit(lambda e: negative_sampling_loss(
+        e, jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool), walk,
+        jax.random.key(0), neg_num=S))(embs)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda e: negative_sampling_loss(
+        e, jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool), walk,
+        jax.random.key(0), neg_num=S))(embs)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -93,7 +93,11 @@ def trip(Old_U, Old_S, Old_V, Delta):
 
 def timers(nodes_file, input_base_path, output_base_path, Theta=0.17,
            dim=128, sep="\t", Update=True):
+    """Returns the per-snapshot wall times (seconds)."""
+    import time as _time
+
     check_and_make_path(output_base_path)
+    time_list = []
     full_node_list = read_node_list(nodes_file)
     N = len(full_node_list)
     K = dim
@@ -105,6 +109,7 @@ def timers(nodes_file, input_base_path, output_base_path, Theta=0.17,
                      columns=range(2 * dim)).to_csv(
             os.path.join(output_base_path, f_name), sep=sep)
 
+    t0 = _time.time()
     A = get_sp_adj_mat(os.path.join(input_base_path, f_list[0]),
                        full_node_list, sep=sep).tocsr()
     u, s, vt = svds(A.astype(np.float64), K)
@@ -114,6 +119,7 @@ def timers(nodes_file, input_base_path, output_base_path, Theta=0.17,
     loss = frobenius_obj(A, U_cur, V_cur)
     loss_rerun = loss
     export(U_cur, V_cur, f_list[0])
+    time_list.append(_time.time() - t0)
     print(f"time = 1, loss = {loss}, loss_bound = {loss}")
 
     Sim = A.copy()          # similarity at last rerun
@@ -121,6 +127,7 @@ def timers(nodes_file, input_base_path, output_base_path, Theta=0.17,
     S_perturb = sp.csr_matrix((N, N))
 
     for i in range(1, len(f_list)):
+        t0 = _time.time()
         A_cur = get_sp_adj_mat(os.path.join(input_base_path, f_list[i]),
                                full_node_list, sep=sep).tocsr()
         S_add = (A_cur - S_cum).tocsr()
@@ -145,6 +152,8 @@ def timers(nodes_file, input_base_path, output_base_path, Theta=0.17,
             loss_rerun = frobenius_obj(Sim, U_cur, V_cur)
             loss = loss_rerun
         export(U_cur, V_cur, f_list[i])
+        time_list.append(_time.time() - t0)
+    return time_list
 
 
 def timers_embedding(args):
@@ -156,7 +165,11 @@ def timers_embedding(args):
     embed_dim = args["embed_dim"]
     theta = args["theta"]
 
-    timers(os.path.abspath(os.path.join(base_path, node_file)),
-           os.path.abspath(os.path.join(base_path, origin_folder)),
-           os.path.abspath(os.path.join(base_path, embedding_folder)),
-           Theta=theta, dim=embed_dim // 2, sep=file_sep, Update=True)
+    time_list = timers(
+        os.path.abspath(os.path.join(base_path, node_file)),
+        os.path.abspath(os.path.join(base_path, origin_folder)),
+        os.path.abspath(os.path.join(base_path, embedding_folder)),
+        Theta=theta, dim=embed_dim // 2, sep=file_sep, Update=True)
+    if args.get("record_time", False):
+        pd.DataFrame({"time": time_list}).to_csv(
+            os.path.join(base_path, "TIMERS_time.csv"), sep=",", index=False)

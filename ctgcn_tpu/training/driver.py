@@ -448,15 +448,10 @@ def gnn_embedding(method, args):
           f"duration = {duration}")
     print(f"start {method} embedding! (ctgcn_tpu)")
     key = jax.random.key(seed)
-    # config key ``profile_dir``: capture a device trace of the whole
-    # window loop (XLA ops, fusion boundaries, transfer timelines) viewable
-    # in TensorBoard/Perfetto — the jax.profiler analogue of the
-    # reference's wall-clock prints (SURVEY §5 tracing row)
-    profile_dir = args.get("profile_dir")
-    profile_cm = (jax.profiler.trace(os.path.abspath(profile_dir))
-                  if profile_dir else None)
-    if profile_cm is not None:
-        profile_cm.__enter__()
+    # config key ``profile_dir``: the trainers capture a jax.profiler
+    # device trace of the steady-state epochs (training/profiling.py) —
+    # the XLA-op/fusion/transfer analogue of the reference's wall-clock
+    # prints (SURVEY §5 tracing row)
     for widx, idx in enumerate(range(start_idx, end_idx, step)):
         print(f"idx = {idx}, duration = {duration}")
         time_length = min(idx + duration, end_idx) - idx
@@ -480,10 +475,6 @@ def gnn_embedding(method, args):
                            weight_decay, load_model, shuffle, export,
                            seed + widx)
         time_list.append(cost)
-
-    if profile_cm is not None:
-        profile_cm.__exit__(None, None, None)
-        print(f"profiler trace written to {profile_dir}")
 
     if record_time:
         pd.DataFrame({"time": time_list}).to_csv(
@@ -555,7 +546,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         return trainer.learn_embedding(
             epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
             weight_decay=weight_decay, model_file=model_file,
-            load_model=load_model, shuffle=shuffle, export=export, seed=seed)
+            load_model=load_model, shuffle=shuffle, export=export, seed=seed,
+            profile_dir=args.get("profile_dir"))
 
     # ------------------------------------------------------------------
     # supervised learning types
@@ -711,4 +703,5 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         tr[0], tr[1], tr[2], va[0], va[1], va[2], te[0], te[1], te[2],
         epoch=epoch, lr=lr, start_idx=idx, weight_decay=weight_decay,
         model_file=model_file, classifier_file=args.get("cls_file", None),
-        load_model=load_model, export=export, seed=seed)
+        load_model=load_model, export=export, seed=seed,
+        profile_dir=args.get("profile_dir"))

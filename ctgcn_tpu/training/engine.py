@@ -133,7 +133,7 @@ class UnsupervisedEmbedding(BaseEmbedding):
     def learn_embedding(self, epoch=50, batch_size=1024, lr=1e-3,
                         start_idx=0, weight_decay=0.0, model_file="ctgcn",
                         load_model=False, shuffle=True, export=True, seed=0,
-                        verbose=True):
+                        verbose=True, profile_dir=None):
         model = self.model
         model_path = os.path.join(self.model_base_path, model_file or "")
         if load_model and model_file and os.path.exists(model_path):
@@ -174,18 +174,27 @@ class UnsupervisedEmbedding(BaseEmbedding):
             model = optax.apply_updates(model, updates)
             return model, opt_state, total_loss
 
+        from ctgcn_tpu.training.profiling import EpochTracer
+
+        tracer = EpochTracer(profile_dir, epoch)
         rng = jax.random.key(seed)
         st = time.time()
         for i in range(epoch):
+            tracer.before_epoch(i)
             rng, k_perm, k_loss = jax.random.split(rng, 3)
             batches, masks = batch_matrix(self.node_num, batch_size,
                                           key=k_perm, shuffle=shuffle)
-            model, opt_state, total_loss = epoch_step(
-                model, opt_state, self.data, jnp.asarray(batches),
-                jnp.asarray(masks), k_loss)
+            with tracer.annotate(i):
+                model, opt_state, total_loss = epoch_step(
+                    model, opt_state, self.data, jnp.asarray(batches),
+                    jnp.asarray(masks), k_loss)
+                if tracer.active:      # trace wants the real device time
+                    jax.block_until_ready(total_loss)
+            tracer.after_epoch(i)
             if verbose:
                 print(f"epoch {i + 1}, loss: {float(total_loss):.6f}, "
                       f"cost time: {time.time() - st:.3f}s")
+        tracer.close()
         cost_time = time.time() - st
 
         if export:
@@ -230,7 +239,8 @@ class SupervisedEmbedding(BaseEmbedding):
                         label_val, mask_val, idx_test, label_test, mask_test,
                         epoch=50, lr=1e-3, start_idx=0, weight_decay=0.0,
                         model_file="ctgcn", classifier_file="ctgcn_cls",
-                        load_model=False, export=True, seed=0, verbose=True):
+                        load_model=False, export=True, seed=0, verbose=True,
+                        profile_dir=None):
         models = (self.model, self.classifier)
         model_path = os.path.join(self.model_base_path, model_file or "")
         cls_path = os.path.join(self.model_base_path, classifier_file or "")
@@ -272,14 +282,22 @@ class SupervisedEmbedding(BaseEmbedding):
             loss, acc = loss_fn(preds, labels, mask, aux)
             return loss, acc, preds
 
+        from ctgcn_tpu.training.profiling import EpochTracer
+
+        tracer = EpochTracer(profile_dir, epoch)
         rng = jax.random.key(seed)
         best_acc, best_models = -1.0, models
         st = time.time()
         for i in range(epoch):
+            tracer.before_epoch(i)
             rng, k = jax.random.split(rng)
-            models, opt_state, loss_tr, acc_tr, _ = train_step(
-                models, opt_state, self.data, idx_train, label_train,
-                mask_train, k)
+            with tracer.annotate(i):
+                models, opt_state, loss_tr, acc_tr, _ = train_step(
+                    models, opt_state, self.data, idx_train, label_train,
+                    mask_train, k)
+                if tracer.active:
+                    jax.block_until_ready(loss_tr)
+            tracer.after_epoch(i)
             if i == 0:
                 if verbose:
                     print(f"Epoch: 1 loss_train: {float(loss_tr):.4f}")
@@ -304,6 +322,7 @@ class SupervisedEmbedding(BaseEmbedding):
                 if classifier_file:
                     save_params(models[1], cls_path)
 
+        tracer.close()
         models = best_models
         loss_te, acc_te, preds_te = eval_step(models, self.data, idx_test,
                                               label_test, mask_test)

@@ -116,13 +116,13 @@ def main():
         # temporal/core RNNs and the loss matmuls are excluded, so this
         # under-reports true utilization slightly):
         #   pyramid [K,N,N]@[N,d_l] fwd + dX bwd  → 2·2·K·N²·d_l per t, l
-        #   identity-feature MLP [N,N]@[N,hid]    → 3·2·N²·hid per t
-        #     (fwd + input-grad + weight-grad)
+        # The identity-feature MLP contributes NO matmul: x=None short-
+        # circuits the first Linear to a weight slice (core_models.py:37-44)
+        # and its weight grad is the output grad directly.
         hid = 500
         K = int(pyr.valid.shape[1])
         spmm_in_dims = [hid] * diffusion_num
-        flops = (T * K * 2 * (N ** 2) * sum(spmm_in_dims) * 2
-                 + T * 3 * 2 * (N ** 2) * hid)
+        flops = T * K * 2 * (N ** 2) * sum(spmm_in_dims) * 2
         mxu_frac = flops / dt / peak
 
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),

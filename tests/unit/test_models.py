@@ -263,3 +263,47 @@ def test_timers_runs(tmp_path, adjs):
     out = pd.read_csv(base / "emb" / "t0.csv", sep="\t", index_col=0)
     assert out.shape == (N, 8)
     assert np.isfinite(out.values).all()
+
+
+def test_core_diffusion_bf16_bank_close_to_f32(adjs, rng):
+    """matmul_precision=bf16: a bfloat16 dense bank must run the single-
+    pass MXU path and stay within bf16 rounding of the f32 result."""
+    from ctgcn_tpu.nn.core_models import CoreDiffusion
+
+    def pyr(dtype):
+        m = adjs[0].tocsr()
+        deg = np.asarray(m.sum(1)).flatten()
+        mats = []
+        for k in [2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                m.multiply(keep[:, None]).multiply(keep[None, :])))
+        return build_core_pyramid(mats, N, num_slots=3, pad_to=512,
+                                  densify=True, dense_dtype=dtype)
+
+    p32 = pyr(jnp.float32)
+    p16 = pyr(jnp.bfloat16)
+    assert p16.dense.dtype == jnp.bfloat16
+    layer = CoreDiffusion.init(jax.random.key(0), 8, 6)
+    x = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    o32 = layer(x, p32)
+    o16 = layer(x, p16)
+    assert o16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_loader_dense_dtype_plumbs_to_bank(tmp_path, rng):
+    """DataLoader.get_core_adj_list(dense_dtype=bf16) stores a bf16 bank."""
+    import os
+    from ctgcn_tpu.data.loader import DataLoader
+
+    core_dir = tmp_path / "cores" / "2020-01"
+    os.makedirs(core_dir)
+    d = (rng.rand(12, 12) < 0.4).astype(np.float32)
+    d = np.triu(d, 1); d = d + d.T
+    sp.save_npz(str(core_dir / "0.npz"), sp.coo_matrix(d).tocsr())
+    loader = DataLoader([f"n{i}" for i in range(12)], 1)
+    pyr = loader.get_core_adj_list(str(tmp_path / "cores"), 0, 1,
+                                   dense_dtype=jnp.bfloat16)
+    assert pyr.dense is not None and pyr.dense.dtype == jnp.bfloat16

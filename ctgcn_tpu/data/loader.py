@@ -86,7 +86,8 @@ class DataLoader:
     # ------------------------------------------------------------------
     def get_core_adj_list(self, core_base_path, start_idx, duration,
                           max_core=-1, stacked=True,
-                          dense_budget_bytes=4 << 30, core_backend="auto"):
+                          dense_budget_bytes=4 << 30, core_backend="auto",
+                          dense_dtype=None):
         """K-core pyramid bank (reference helper.py:51-82 semantics:
         truncate to max_core, reverse so max core first, +I on the first,
         delta-skip as validity masks).
@@ -94,12 +95,13 @@ class DataLoader:
         Backend policy (``core_backend``):
           * ``"auto"``: dense [T, K, N, N] mirror when it fits
             ``dense_budget_bytes`` (small graphs: one batched MXU matmul
-            beats everything); else Pallas BSR plans IF the block bank is
-            affordable (the 128x128-block plan degenerates at very sparse
-            scatter — a Facebook-scale synthetic measures 0.03% fill and a
-            14 GB bank, see data/bench_spmm_backends.json — so the fill is
-            estimated host-side first); else the gather/segment path.
-          * ``"dense"`` / ``"pallas"`` / ``"segment"``: force one path."""
+            beats everything); else degree-bucketed ELL plans (scatter-free
+            gather + dense row-sum, ops/ell.py — measured 1.7-2.2x over
+            the segment path on v5e at Facebook scale, where the BSR
+            128x128-block bank degenerates: 0.03% fill, 14 GB, see
+            data/bench_spmm_backends.json).
+          * ``"dense"`` / ``"ell"`` / ``"pallas"`` / ``"segment"``: force
+            one path (``"pallas"`` = BSR block kernel)."""
         date_dirs = sorted_dir(core_base_path)
         assert start_idx < len(date_dirs)
         window = list(self._window(start_idx, duration))
@@ -119,25 +121,36 @@ class DataLoader:
             (m.nnz + (self.node_num if j == 0 else 0))
             for mats in per_snap_mats for j, m in enumerate(mats))
         cap = pad_bucket(max_nnz)
+        itemsize = 2 if dense_dtype == jnp.bfloat16 else 4
         dense_bytes = (len(per_snap_mats) * num_slots
-                       * self.node_num * self.node_num * 4)
+                       * self.node_num * self.node_num * itemsize)
+        build_ell = False
         if core_backend == "auto":
             densify = (dense_budget_bytes is not None
                        and dense_bytes <= dense_budget_bytes)
-            build_plans = not densify
-            if build_plans:
-                build_plans = self._bsr_plan_affordable(per_snap_mats)
+            build_plans = False
+            build_ell = not densify
         else:
-            assert core_backend in ("dense", "pallas", "segment"), core_backend
+            assert core_backend in ("dense", "ell", "pallas",
+                                    "segment"), core_backend
             densify = core_backend == "dense"
             build_plans = core_backend == "pallas"
+            build_ell = core_backend == "ell"
         pyramids = [
             build_core_pyramid(mats, self.node_num, num_slots=num_slots,
                                pad_to=cap, densify=densify,
+                               dense_dtype=dense_dtype,
                                build_plans=build_plans)
             for mats in per_snap_mats
         ]
-        return stack_pyramids(pyramids) if stacked else pyramids
+        if not stacked:
+            return pyramids
+        out = stack_pyramids(pyramids)
+        if build_ell:
+            from ctgcn_tpu.ops.pyramid import attach_ell_plans
+
+            out = attach_ell_plans(out, bf16=dense_dtype == jnp.bfloat16)
+        return out
 
     @staticmethod
     def _bsr_plan_affordable(per_snap_mats, budget_bytes=1 << 30, block=128):

@@ -1,0 +1,211 @@
+# coding: utf-8
+"""Degree-bucketed ELL SpMM — the TPU answer to the very-sparse regime.
+
+The reference's hot op is ``torch.sparse.mm`` (layers.py:43-45); at
+Facebook/Enron scale (N≈60-87k, 128²-block fill ~0.03%) neither the dense
+[K, N, N] mirror nor the Pallas BSR bank is affordable, and XLA's
+gather + ``segment_sum`` lowering of padded COO is scatter-bound
+(measured 79.5 M edges/s on v5e).  A Pallas streaming-gather kernel is
+not an option either: Mosaic's dynamic-gather lowering rejects
+cross-sublane row gathers (probed on-chip 2026-08 — ``jnp.take`` fails
+with "Shape mismatch in input, indices and output" and
+``take_along_axis`` crashes the Mosaic backend), so there is no kernel-
+level fusion path for the gather.
+
+What the hardware *does* run fast is dense work, so the scatter is
+removed instead of accelerated (SELL-C-σ in TPU clothes):
+
+  * rows are sorted by degree and grouped into power-of-two width
+    buckets; each bucket is a dense [nb, K] column/value table (padding
+    slots have val 0 → contribute 0);
+  * SpMM per bucket = vectorized gather + multiply + DENSE row-sum —
+    no scatter primitive at all;
+  * bucket outputs are concatenated (degree-sorted order) and routed
+    back with one [N]-permutation gather.
+
+Measured on v5e at Facebook scale (N=61440, deg 10, d=128):
+segment 79.5 M edges/s → ELL f32 136.9 M (exact numerics) → ELL bf16
+173.9 M (relerr ~2e-3).  Padded-slot overhead for power-law graphs is
+bounded by 2x (power-of-two widths) and is ~1.2-1.4x in practice.
+
+Differentiable in x via a transpose plan (dx = A^T @ g); the adjacency
+is a constant, so no dA path is needed.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EllBucket:
+    cols: jnp.ndarray   # int32[nb, K] source columns (0 on padding)
+    vals: jnp.ndarray   # f32[nb, K]   edge values    (0 on padding)
+
+
+@struct.dataclass
+class EllPlan:
+    """Host-built degree-bucketed table for one sparse matrix [R, C]."""
+
+    buckets: tuple      # tuple[EllBucket, ...] in ascending width order
+    inv_perm: jnp.ndarray   # int32[R]: row r's position in the concat output
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+
+    @property
+    def padded_nnz(self):
+        return sum(int(b.cols.shape[0] * b.cols.shape[1])
+                   for b in self.buckets)
+
+
+def _row_widths(csr, min_width):
+    deg = np.diff(csr.indptr)
+    return np.maximum(min_width,
+                      2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(int))
+
+
+def _build_buckets(csr, width, spec):
+    """Pack rows into the given ``spec`` = [(K, nb_alloc), ...] (ascending
+    K; nb_alloc >= rows of that width).  Returns (buckets, inv_perm)."""
+    R = csr.shape[0]
+    order = np.argsort(width, kind="stable")     # degree-sorted rows
+    by_width = {}
+    pos = 0
+    while pos < R:
+        K = int(width[order[pos]])
+        end = pos
+        while end < R and width[order[end]] == K:
+            end += 1
+        by_width[K] = order[pos:end]
+        pos = end
+
+    buckets = []
+    inv_perm = np.empty(R, np.int64)
+    offset = 0
+    for K, nb_alloc in spec:
+        rows = by_width.get(K, np.zeros(0, np.int64))
+        assert len(rows) <= nb_alloc, (K, len(rows), nb_alloc)
+        cols_a = np.zeros((nb_alloc, K), np.int32)
+        vals_a = np.zeros((nb_alloc, K), np.float32)
+        for i, r in enumerate(rows):
+            s, e = csr.indptr[r], csr.indptr[r + 1]
+            cols_a[i, : e - s] = csr.indices[s:e]
+            vals_a[i, : e - s] = csr.data[s:e]
+        inv_perm[rows] = offset + np.arange(len(rows))
+        buckets.append(EllBucket(cols=jnp.asarray(cols_a),
+                                 vals=jnp.asarray(vals_a)))
+        offset += nb_alloc
+    return tuple(buckets), inv_perm
+
+
+def build_ell_plan(mat, min_width=8) -> EllPlan:
+    """scipy sparse [R, C] → EllPlan.  Zero-degree rows land in the
+    narrowest bucket with all-zero values."""
+    csr = mat.tocsr()
+    csr.sum_duplicates()
+    R, C = csr.shape
+    width = _row_widths(csr, min_width)
+    widths = sorted(set(int(w) for w in width))
+    spec = [(w, int(np.sum(width == w))) for w in widths]
+    buckets, inv_perm = _build_buckets(csr, width, spec)
+    return EllPlan(buckets=buckets,
+                   inv_perm=jnp.asarray(inv_perm.astype(np.int32)),
+                   n_rows=R, n_cols=C)
+
+
+def build_ell_plans(mat, min_width=8):
+    """(fwd, transpose) pair for the custom VJP."""
+    return (build_ell_plan(mat, min_width),
+            build_ell_plan(mat.T.tocsr(), min_width))
+
+
+def _ell_apply(plan: EllPlan, x, bf16):
+    xs = x.astype(jnp.bfloat16) if bf16 else x
+    outs = []
+    for b in plan.buckets:
+        vals = b.vals.astype(xs.dtype)
+        g = xs[b.cols] * vals[:, :, None]            # [nb, K, d]
+        outs.append(jnp.sum(g.astype(jnp.float32), axis=1))
+    cat = jnp.concatenate(outs, axis=0)              # degree-sorted rows
+    return jnp.take(cat, plan.inv_perm, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ell_spmm(fwd_plan: EllPlan, t_plan: EllPlan, x, bf16=False):
+    """A @ x ([R, C] @ [C, d]); differentiable in x (dx = A^T @ g)."""
+    return _ell_apply(fwd_plan, x, bf16)
+
+
+def _fwd(fwd_plan, t_plan, x, bf16):
+    return _ell_apply(fwd_plan, x, bf16), t_plan
+
+
+def _bwd(bf16, t_plan, g):
+    return None, None, _ell_apply(t_plan, g, bf16)
+
+
+ell_spmm.defvjp(_fwd, _bwd)
+
+
+def _stack_plans(plans):
+    """Per-t plans with IDENTICAL bucket specs → one plan whose leaves
+    carry a leading [T] axis (vmap-able over t)."""
+    buckets = tuple(
+        EllBucket(cols=jnp.stack([p.buckets[i].cols for p in plans]),
+                  vals=jnp.stack([p.buckets[i].vals for p in plans]))
+        for i in range(len(plans[0].buckets)))
+    return EllPlan(buckets=buckets,
+                   inv_perm=jnp.stack([p.inv_perm for p in plans]),
+                   n_rows=plans[0].n_rows, n_cols=plans[0].n_cols)
+
+
+def _build_uniform(csrs, min_width):
+    """One plan per csr with a UNIFIED bucket spec, stacked on [T]."""
+    widths = [_row_widths(c, min_width) for c in csrs]
+    all_w = sorted({int(w) for ws in widths for w in ws})
+    spec = [(w, max(int(np.sum(ws == w)) for ws in widths)) for w in all_w]
+    plans = []
+    for csr, w in zip(csrs, widths):
+        buckets, inv_perm = _build_buckets(csr, w, spec)
+        plans.append(EllPlan(buckets=buckets,
+                             inv_perm=jnp.asarray(inv_perm.astype(np.int32)),
+                             n_rows=csr.shape[0], n_cols=csr.shape[1]))
+    return _stack_plans(plans)
+
+
+def build_pyramid_ell_plans(stacked_rows, stacked_cols, stacked_vals,
+                            valid, n_nodes, min_width=8):
+    """Core-pyramid [T, K, P] COO slots → stacked per-t ELL plan pair.
+
+    Each snapshot's K slots flatten to one block-diagonal [K·N, N] matrix
+    (exactly like the segment fallback flattens them); per-t plans share a
+    unified bucket spec (union of widths, max bucket rows — padding rows
+    contribute zeros and are never selected by inv_perm), so the stacked
+    leaves carry a leading [T] axis and ``jax.vmap`` runs the whole window.
+    Invalid (delta-skip) slots contribute zero rows.  Returns
+    (fwd [T, K·N, N], transpose [T, N, K·N]) stacked plans.
+    """
+    import scipy.sparse as sp
+
+    T, K, P = stacked_rows.shape
+    rows = np.asarray(stacked_rows).astype(np.int64)
+    cols = np.asarray(stacked_cols).astype(np.int64)
+    vals = np.asarray(stacked_vals).astype(np.float64)
+    val_mask = (vals != 0) & np.asarray(valid)[:, :, None]
+    off = (np.arange(K) * n_nodes).reshape(K, 1)
+    fwd_csrs, t_csrs = [], []
+    for t in range(T):
+        m = val_mask[t]
+        flat_r = (rows[t] + off)[m]
+        flat_c = cols[t][m]
+        flat_v = vals[t][m]
+        mat = sp.coo_matrix((flat_v, (flat_r, flat_c)),
+                            shape=(K * n_nodes, n_nodes)).tocsr()
+        fwd_csrs.append(mat)
+        t_csrs.append(mat.T.tocsr())
+    return (_build_uniform(fwd_csrs, min_width),
+            _build_uniform(t_csrs, min_width))

@@ -45,6 +45,16 @@ class CorePyramid:
     # are ordinary pytree arrays so they stack over T and live inside jit.
     plan_fwd: object | None = None
     plan_t: object | None = None
+    # Optional degree-bucketed ELL plans (ops/ell.EllPlan): the scatter-free
+    # dense-reduction SpMM for the very sparse regime where BSR block fill
+    # degenerates (measured 1.7x f32 / 2.2x bf16 over gather+segment_sum on
+    # v5e at Facebook scale — see ops/ell.py).  Built per WINDOW over the
+    # stacked pyramid (leaves carry a leading [T] axis; vmap slices them).
+    ell_fwd: object | None = None
+    ell_t: object | None = None
+    # bf16 ELL gathers (matmul_precision config); static so it can steer
+    # tracing.
+    ell_bf16: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_slots(self) -> int:
@@ -161,3 +171,15 @@ def stack_pyramids(pyramids):
             for p in pyramids
         ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *pyramids)
+
+
+def attach_ell_plans(stacked: CorePyramid, bf16=False, min_width=8):
+    """Attach window-level degree-bucketed ELL plans (ops/ell.py) to a
+    stacked [T, K, P] pyramid — the scatter-free SpMM backend for the very
+    sparse regime.  Leaves carry a leading [T] axis; vmap slices them."""
+    from ctgcn_tpu.ops.ell import build_pyramid_ell_plans
+
+    fwd, t = build_pyramid_ell_plans(stacked.rows, stacked.cols,
+                                     stacked.vals, stacked.valid,
+                                     stacked.n_nodes, min_width=min_width)
+    return stacked.replace(ell_fwd=fwd, ell_t=t, ell_bf16=bf16)

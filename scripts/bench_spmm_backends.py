@@ -110,37 +110,30 @@ def run_case(name, mat, d, iters, results, try_dense=False):
         print(f"dense:   {dt*1e3:8.3f} ms  {nnz/dt/1e6:8.1f}M edges/s  "
               f"{tf:6.2f} TF/s ({100*tf/MXU_F32_TFLOPS:.1f}% MXU f32)")
 
-    # --- Pallas streaming gather SpMM (the very-sparse-regime kernel) ---
-    try:
-        from ctgcn_tpu.ops.pallas_stream_spmm import (
-            E_BLOCK, build_stream_plan, _stream_spmm_raw, _pad_rows,
-        )
+    # --- degree-bucketed ELL (gather + dense row-sum, no scatter) ---
+    # The very-sparse-regime backend (ops/ell.py).  A Pallas streaming-
+    # gather kernel was probed on-chip and is NOT implementable: Mosaic
+    # rejects cross-sublane dynamic gathers (jnp.take -> "Shape mismatch
+    # in input, indices and output"; take_along_axis crashes the backend
+    # compiler), so the scatter is removed instead of fused.
+    from ctgcn_tpu.ops.ell import build_ell_plans, ell_spmm
 
-        plan = build_stream_plan(mat)
-        nbk = plan.rows.shape[0]
-        xp = jnp.asarray(np.zeros((plan.n_cols, d), np.float32))
-        xp = xp.at[:n].set(x)
-        f_stream = jax.jit(lambda x: _stream_spmm_raw(plan, x))
-        dt = bench(f_stream, xp, iters)
-        out = np.asarray(f_stream(xp))[:n]
+    fwd_e, t_e = build_ell_plans(mat)
+    pad_ratio = fwd_e.padded_nnz / nnz
+    for tag, bf16 in (("ell_f32", False), ("ell_bf16", True)):
+        f_ell = jax.jit(lambda x, b=bf16: ell_spmm(fwd_e, t_e, x, b))
+        dt = bench(f_ell, x, iters)
+        out = np.asarray(f_ell(x))
         err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
-        # traffic: edge streams (3*4B/slot) + x strips (once per (rt,cs)
-        # pair) + out tiles once
-        strips = len({(int(a), int(b)) for a, b in
-                      zip(np.asarray(plan.block_rt),
-                          np.asarray(plan.block_cs))})
-        bytes_moved = (nbk * E_BLOCK * 12 + strips * 16384 * d * 4
-                       + plan.n_rows * d * 4)
-        gbps = bytes_moved / dt / 1e9
-        results[f"{name}/stream"] = {
-            "ms": dt * 1e3, "edges_per_s": nnz / dt, "blocks": int(nbk),
-            "hbm_gbps": gbps, "hbm_frac": gbps / HBM_GBPS,
-            "max_rel_err": float(err)}
-        print(f"stream:  {dt*1e3:8.3f} ms  {nnz/dt/1e6:8.1f}M edges/s  "
-              f"NB={nbk}  ~{gbps:6.1f} GB/s  err={err:.2e}")
-    except Exception as exc:  # Mosaic may reject the dynamic gather
-        results[f"{name}/stream"] = {"error": str(exc)[:500]}
-        print(f"stream:  FAILED ({str(exc)[:200]})")
+        # bytes: gather padded_nnz rows of x + padded_nnz vals + out once
+        itm = 2 if bf16 else 4
+        gbps = (fwd_e.padded_nnz * (d + 1) * itm + n * d * 4) / dt / 1e9
+        results[f"{name}/{tag}"] = {
+            "ms": dt * 1e3, "edges_per_s": nnz / dt,
+            "pad_ratio": pad_ratio, "hbm_gbps": gbps,
+            "hbm_frac": gbps / HBM_GBPS, "max_rel_err": float(err)}
+        print(f"{tag}: {dt*1e3:8.3f} ms  {nnz/dt/1e6:8.1f}M edges/s  "
+              f"pad={pad_ratio:.2f}x  ~{gbps:6.1f} GB/s  err={err:.2e}")
 
     # --- Pallas BSR, raw order and degree-sorted ---
     # BSR is only viable when block fill is adequate: at Facebook-scale
@@ -215,6 +208,8 @@ def main():
     if os.path.exists(out):
         with open(out) as fp:
             results = json.load(fp)
+        # drop results for backends that no longer exist
+        results = {k: v for k, v in results.items() if "/stream" not in k}
 
     if args.case in ("uci", "all"):
         uci = powerlaw_graph(1899, 32, seed=0)

@@ -1,0 +1,105 @@
+# coding: utf-8
+"""Degree-bucketed ELL SpMM (ops/ell.py) correctness tests (CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from ctgcn_tpu.ops.ell import (build_ell_plan, build_ell_plans, ell_spmm)
+
+
+def _powerlaw(rng, n=200, m=160):
+    """Power-law-ish sparse matrix with hubs, empty rows and duplicates."""
+    deg = np.minimum((rng.pareto(1.0, n) * 3).astype(int), n - 1)
+    deg[rng.rand(n) < 0.1] = 0                       # isolated rows
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.randint(0, m, rows.shape[0])
+    vals = rng.randn(rows.shape[0]).astype(np.float32)
+    return sp.coo_matrix((vals, (rows, cols)), shape=(n, m)).tocsr()
+
+
+def test_ell_matches_dense(rng):
+    A = _powerlaw(rng)
+    x = rng.randn(A.shape[1], 17).astype(np.float32)
+    fwd, t = build_ell_plans(A)
+    out = ell_spmm(fwd, t, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), A @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_padding_overhead_bounded(rng):
+    A = _powerlaw(rng, n=500, m=500)
+    plan = build_ell_plan(A)
+    assert plan.padded_nnz <= max(2 * A.nnz, 8 * A.shape[0])
+
+
+def test_ell_grad_matches_dense(rng):
+    A = _powerlaw(rng, n=80, m=60)
+    x = jnp.asarray(rng.randn(60, 9).astype(np.float32))
+    fwd, t = build_ell_plans(A)
+
+    def loss(x):
+        return jnp.sum(jnp.tanh(ell_spmm(fwd, t, x)))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.tanh(jnp.asarray(A.toarray()) @ x))
+
+    g = jax.jit(jax.grad(loss))(x)
+    g_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ell_bf16_close(rng):
+    A = _powerlaw(rng)
+    x = jnp.asarray(rng.randn(A.shape[1], 16).astype(np.float32))
+    fwd, t = build_ell_plans(A)
+    o32 = ell_spmm(fwd, t, x)
+    o16 = ell_spmm(fwd, t, x, True)
+    scale = float(jnp.abs(o32).max())
+    assert float(jnp.abs(o16 - o32).max()) / scale < 0.02
+
+
+def test_ell_jit_with_plan_as_pytree(rng):
+    A = _powerlaw(rng, n=64, m=64)
+    x = jnp.asarray(rng.randn(64, 8).astype(np.float32))
+    fwd, t = build_ell_plans(A)
+    f = jax.jit(lambda fwd, t, x: ell_spmm(fwd, t, x))
+    np.testing.assert_allclose(np.asarray(f(fwd, t, x)),
+                               A @ np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_ctgcn_ell_backend_matches_segment(rng):
+    """Full CTGCN-C forward+grad: ELL pyramid backend == segment backend."""
+    from ctgcn_tpu.nn.core_models import CTGCN
+    from ctgcn_tpu.ops.pyramid import (build_core_pyramid, stack_pyramids,
+                                       attach_ell_plans)
+
+    N, T = 24, 3
+    pyrs = []
+    for _ in range(T):
+        d = (rng.rand(N, N) < 0.25).astype(np.float32)
+        d = np.triu(d, 1); d = d + d.T
+        A = sp.csr_matrix(d)
+        deg = np.asarray(A.sum(1)).flatten()
+        mats = []
+        for k in [2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                A.multiply(keep[:, None]).multiply(keep[None, :])))
+        pyrs.append(build_core_pyramid(mats, N, num_slots=3, pad_to=512))
+    seg = stack_pyramids(pyrs)
+    ell = attach_ell_plans(seg)
+
+    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=10,
+                       output_dim=6, trans_num=1, diffusion_num=2, duration=T)
+    out_seg = model(None, seg)
+    out_ell = jax.jit(lambda m, p: m(None, p))(model, ell)
+    np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_seg),
+                               rtol=1e-4, atol=1e-5)
+
+    g_seg = jax.grad(lambda m: jnp.sum(jnp.tanh(m(None, seg))))(model)
+    g_ell = jax.grad(lambda m: jnp.sum(jnp.tanh(m(None, ell))))(model)
+    for a, b in zip(jax.tree.leaves(g_ell), jax.tree.leaves(g_seg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

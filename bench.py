@@ -101,6 +101,7 @@ def main():
     # ---- honest accounting (VERDICT r1 weak #2/#1) --------------------
     # which CoreDiffusion backend actually ran this step
     backend = ("dense" if pyr.dense is not None
+               else "ell" if pyr.ell_fwd is not None
                else "pallas_bsr" if pyr.plan_fwd is not None
                else "segment")
     device_kind = jax.devices()[0].device_kind

@@ -62,17 +62,39 @@ class DataLoader:
             out.append(spmat)
         return out
 
+    # attach ELL plans to fixed-value adjacencies at/above this node count
+    # ("auto" policy; below it the plain segment path is fast enough and
+    # not worth the per-window plan build + retrace)
+    ELL_AUTO_NODES = 16384
+
     def get_date_adj_list(self, origin_base_path, start_idx, duration,
                           sep="\t", normalize=False, row_norm=False,
-                          add_eye=False, stacked=True):
+                          add_eye=False, stacked=True, adj_backend="auto"):
         """Per-snapshot adjacency as SparseGraphs (equal capacity); when
-        ``stacked`` returns a single [T]-leading SparseGraph pytree."""
+        ``stacked`` returns a single [T]-leading SparseGraph pytree.
+
+        ``adj_backend``: "auto" attaches degree-bucketed ELL plans
+        (ops/ell.py — the scatter-free SpMM fast path, 5.6x at Facebook
+        scale) when the graph is large; "ell"/"segment" force it."""
         mats = self.get_scipy_adj_list(origin_base_path, start_idx, duration,
                                        sep=sep, normalize=normalize,
                                        row_norm=row_norm, add_eye=add_eye)
         cap = pad_bucket(max((m.nnz for m in mats), default=1))
         graphs = [from_scipy(m, pad_to=cap) for m in mats]
-        return stack_graphs(graphs) if stacked else graphs
+        if not stacked:
+            return graphs
+        out = stack_graphs(graphs)
+        use_ell = (adj_backend == "ell"
+                   or (adj_backend == "auto"
+                       and self.node_num >= self.ELL_AUTO_NODES))
+        if use_ell:
+            from ctgcn_tpu.ops.ell import _build_uniform
+
+            csrs = [m.tocsr() for m in mats]
+            out = out.replace(
+                ell_fwd=_build_uniform(csrs, 8),
+                ell_t=_build_uniform([m.T.tocsr() for m in csrs], 8))
+        return out
 
     def get_edge_list(self, origin_base_path, start_idx, duration, sep="\t"):
         """Host-side [2, E_t] int arrays per snapshot (both edge directions),

@@ -38,6 +38,14 @@ class SparseGraph:
     vals: jnp.ndarray
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
+    # Optional degree-bucketed ELL plans (ops/ell.EllPlan) — the
+    # scatter-free SpMM backend for large very-sparse graphs (5.6x over
+    # gather+segment_sum on v5e at Facebook scale).  ``spmm``/``spmm_t``
+    # prefer these when present; values are baked into the plan, so only
+    # fixed-value adjacencies qualify (GAT's per-step attention values go
+    # through spmm_ev instead).
+    ell_fwd: object | None = None
+    ell_t: object | None = None
 
     @property
     def capacity(self) -> int:

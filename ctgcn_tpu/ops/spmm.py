@@ -39,6 +39,10 @@ def spmm(g: SparseGraph, x: jnp.ndarray, backend: str | None = None) -> jnp.ndar
 
     Padding slots have val == 0 and contribute nothing.
     """
+    if backend is None and g.ell_fwd is not None:
+        from ctgcn_tpu.ops.ell import ell_spmm
+
+        return ell_spmm(g.ell_fwd, g.ell_t, x)
     backend = backend or _DEFAULT_BACKEND
     if backend == "segment":
         return _spmm_segment(g, x)
@@ -62,6 +66,10 @@ def _spmm_segment(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
 
 def spmm_t(g: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
     """Compute ``A.T @ x`` without materializing the transpose sort."""
+    if g.ell_t is not None:
+        from ctgcn_tpu.ops.ell import ell_spmm
+
+        return ell_spmm(g.ell_t, g.ell_fwd, x)
     gathered = x[g.rows] * g.vals[:, None]
     return jax.ops.segment_sum(gathered, g.cols, num_segments=g.n_cols)
 

@@ -100,7 +100,8 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
         adjs = data_loader.get_date_adj_list(
             origin_base_path, idx, time_length, sep=file_sep,
             normalize=normalize, row_norm=row_norm,
-            add_eye=add_eye or gin_add_eye)
+            add_eye=add_eye or gin_add_eye,
+            adj_backend=args.get("adj_backend", "auto"))
         if method in ("SAGE", "TgSAGE") or (
                 method in ("GIN", "TgGIN")
                 and args.get("pooling_type", "sum") == "max"):

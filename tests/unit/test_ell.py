@@ -103,3 +103,53 @@ def test_ctgcn_ell_backend_matches_segment(rng):
     for a, b in zip(jax.tree.leaves(g_ell), jax.tree.leaves(g_seg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_spmm_prefers_attached_ell_plans(rng):
+    """SparseGraph with ELL plans routes spmm/spmm_t through them."""
+    from ctgcn_tpu.ops.sparse import from_scipy
+    from ctgcn_tpu.ops.spmm import spmm, spmm_t
+    from ctgcn_tpu.ops.ell import build_ell_plan
+
+    A = _powerlaw(rng, n=120, m=120)
+    x = jnp.asarray(rng.randn(120, 7).astype(np.float32))
+    g = from_scipy(A)
+    g_ell = g.replace(ell_fwd=build_ell_plan(A),
+                      ell_t=build_ell_plan(A.T.tocsr()))
+    np.testing.assert_allclose(np.asarray(spmm(g_ell, x)),
+                               np.asarray(spmm(g, x)), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(spmm_t(g_ell, x)),
+                               np.asarray(spmm_t(g, x)), rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_forward_matches_with_ell_adjacency(tmp_path, rng):
+    """Loader adj_backend="ell" end-to-end: GCN forward identical."""
+    import os
+    import pandas as pd
+    from ctgcn_tpu.data.loader import DataLoader
+    from ctgcn_tpu.nn.gcn import GCN
+
+    n, T = 30, 2
+    names = [f"n{i}" for i in range(n)]
+    fmt = tmp_path / "1.format"
+    os.makedirs(fmt)
+    for t in range(T):
+        d = (rng.rand(n, n) < 0.2)
+        d = np.triu(d, 1)
+        r, c = np.nonzero(d)
+        pd.DataFrame({"from_id": [names[i] for i in r],
+                      "to_id": [names[j] for j in c],
+                      "weight": 1.0}).to_csv(
+            str(fmt / f"200{t}.csv"), sep="\t", index=False)
+    loader = DataLoader(names, T)
+    seg = loader.get_date_adj_list(str(fmt), 0, T, normalize=True,
+                                   adj_backend="segment")
+    ell = loader.get_date_adj_list(str(fmt), 0, T, normalize=True,
+                                   adj_backend="ell")
+    assert ell.ell_fwd is not None
+    model = GCN.init(jax.random.key(0), n, 16, 8, dropout=0.0)
+    xs = jnp.asarray(rng.randn(T, n, n).astype(np.float32))
+    o_seg = model(xs, seg)
+    o_ell = jax.jit(lambda m, a, x: m(x, a))(model, ell, xs)
+    np.testing.assert_allclose(np.asarray(o_ell), np.asarray(o_seg),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,119 @@
+# coding: utf-8
+"""Large-graph CTGCN-C train step on the REAL chip (the regime the
+reference handles with "use a bigger GPU or CPU", README.md:178).
+
+Synthetic Facebook-scale power-law graph (N=60730-ish, the reference's
+Facebook row: README.md:173), real k-core pyramid from our peeler, full
+jitted train step (forward + loss + backward + Adam) through the
+degree-bucketed ELL backend vs the gather/segment fallback.  Writes
+data/bench_large_scale.json.  Run: timeout 560 python
+scripts/bench_large_scale.py [--quick]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--n", type=int, default=61440)
+    ap.add_argument("--t", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ctgcn_tpu.main import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    from scripts.bench_spmm_backends import powerlaw_graph
+    from ctgcn_tpu.preprocessing.kcore import core_numbers
+    from ctgcn_tpu.ops.pyramid import (build_core_pyramid, stack_pyramids,
+                                       attach_ell_plans)
+    from ctgcn_tpu.nn import CTGCN
+    from ctgcn_tpu.training.engine import make_optimizer
+
+    from ctgcn_tpu.utils import pad_bucket
+
+    N, T = args.n, args.t
+    print(f"building synthetic Facebook-scale window: N={N}, T={T}")
+    mats_per_t = []
+    total_nnz = 0
+    for t in range(T):
+        mat = powerlaw_graph(N, 20, seed=t)
+        cn = core_numbers(mat)
+        mats = []
+        for k in range(int(cn.max()), 0, -1):   # max core first
+            keep = (cn >= k).astype(np.float32)
+            mats.append(mat.multiply(keep[:, None]).multiply(
+                keep[None, :]).tocsr())
+        mats_per_t.append(mats)
+        total_nnz += sum(int(m.nnz) for m in mats)
+    num_slots = max(len(m) for m in mats_per_t)
+    cap = pad_bucket(max(m.nnz + (N if j == 0 else 0)
+                         for mats in mats_per_t for j, m in enumerate(mats)))
+    stacked = stack_pyramids([
+        build_core_pyramid(mats, N, num_slots=num_slots, pad_to=cap)
+        for mats in mats_per_t])
+    print(f"pyramid: K={num_slots}, cap={cap}, window nnz={total_nnz}")
+
+    hid, out_dim = 500, 128
+    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=hid,
+                       output_dim=out_dim, trans_num=1, diffusion_num=2,
+                       duration=T)
+    optimizer = make_optimizer(1e-3, weight_decay=5e-4)
+    target = jax.random.normal(jax.random.key(1), (T, N, out_dim))
+    iters = 5 if args.quick else 15
+
+    results = {}
+    for tag, pyr in (("ell", attach_ell_plans(stacked)),
+                     ("segment", stacked)):
+        opt_state = optimizer.init(model)
+
+        def loss_fn(m, pyr):
+            embs = m(None, pyr)
+            return jnp.mean((embs - target) ** 2)
+
+        @jax.jit
+        def step(m, opt_state, pyr):
+            loss, grads = jax.value_and_grad(loss_fn)(m, pyr)
+            updates, opt_state = optimizer.update(grads, opt_state, m)
+            return optax.apply_updates(m, updates), opt_state, loss
+
+        t0 = time.time()
+        m2, opt_state, loss = step(model, opt_state, pyr)
+        jax.block_until_ready(loss)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            m2, opt_state, loss = step(m2, opt_state, pyr)
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / iters
+        # edges/s over the 2 diffusion layers, fwd + bwd dX (3x convention
+        # matches bench.py)
+        eps = total_nnz * 2 * 3 / dt
+        results[tag] = {"step_ms": dt * 1e3, "compile_s": compile_s,
+                        "edges_per_s": eps, "loss": float(loss)}
+        print(f"{tag:8s}: {dt*1e3:8.1f} ms/step  {eps/1e6:8.1f} M edge-"
+              f"traversals/s  (compile {compile_s:.0f}s)")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "bench_large_scale.json")
+    results["config"] = {"n": N, "t": T, "hid": hid, "out": out_dim,
+                         "window_nnz": total_nnz, "num_slots": num_slots}
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,15 +86,22 @@ def _build_buckets(csr, width, spec):
     buckets = []
     inv_perm = np.empty(R, np.int64)
     offset = 0
+    indptr = csr.indptr.astype(np.int64)
     for K, nb_alloc in spec:
         rows = by_width.get(K, np.zeros(0, np.int64))
         assert len(rows) <= nb_alloc, (K, len(rows), nb_alloc)
         cols_a = np.zeros((nb_alloc, K), np.int32)
         vals_a = np.zeros((nb_alloc, K), np.float32)
-        for i, r in enumerate(rows):
-            s, e = csr.indptr[r], csr.indptr[r + 1]
-            cols_a[i, : e - s] = csr.indices[s:e]
-            vals_a[i, : e - s] = csr.data[s:e]
+        if len(rows):
+            # vectorized CSR-row packing (a python per-row loop is minutes
+            # at Facebook scale)
+            lens = indptr[rows + 1] - indptr[rows]
+            ends = np.cumsum(lens)
+            seg = np.arange(int(ends[-1])) - np.repeat(ends - lens, lens)
+            src = np.repeat(indptr[rows], lens) + seg
+            dst = np.repeat(np.arange(len(rows)) * K, lens) + seg
+            cols_a.reshape(-1)[dst] = csr.indices[src]
+            vals_a.reshape(-1)[dst] = csr.data[src]
         inv_perm[rows] = offset + np.arange(len(rows))
         buckets.append(EllBucket(cols=jnp.asarray(cols_a),
                                  vals=jnp.asarray(vals_a)))

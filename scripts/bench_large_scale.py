@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--n", type=int, default=61440)
     ap.add_argument("--t", type=int, default=3)
+    # the synthetic configuration-model graph develops a much deeper core
+    # hierarchy (max core ~72) than the real Facebook graph (max core 9,
+    # reference README.md:173); cap the pyramid at the realistic depth
+    ap.add_argument("--max_core", type=int, default=9)
     args = ap.parse_args()
 
     import jax
@@ -50,7 +54,7 @@ def main():
     total_nnz = 0
     for t in range(T):
         mat = powerlaw_graph(N, 20, seed=t)
-        cn = core_numbers(mat)
+        cn = np.minimum(core_numbers(mat), args.max_core)
         mats = []
         for k in range(int(cn.max()), 0, -1):   # max core first
             keep = (cn >= k).astype(np.float32)
@@ -58,6 +62,8 @@ def main():
                 keep[None, :]).tocsr())
         mats_per_t.append(mats)
         total_nnz += sum(int(m.nnz) for m in mats)
+        print(f"  t={t}: {len(mats)} cores, "
+              f"{sum(int(m.nnz) for m in mats)} pyramid nnz", flush=True)
     num_slots = max(len(m) for m in mats_per_t)
     cap = pad_bucket(max(m.nnz + (N if j == 0 else 0)
                          for mats in mats_per_t for j, m in enumerate(mats)))

@@ -88,12 +88,17 @@ class DataLoader:
                    or (adj_backend == "auto"
                        and self.node_num >= self.ELL_AUTO_NODES))
         if use_ell:
-            from ctgcn_tpu.ops.ell import _build_uniform
+            from ctgcn_tpu.ops.ell import (_build_uniform,
+                                           build_window_ell_ev_plans)
 
             csrs = [m.tocsr() for m in mats]
+            ev_fwd, ev_t = build_window_ell_ev_plans(
+                np.asarray(out.rows), np.asarray(out.cols),
+                np.asarray(out.vals) != 0, self.node_num, self.node_num)
             out = out.replace(
                 ell_fwd=_build_uniform(csrs, 8),
-                ell_t=_build_uniform([m.T.tocsr() for m in csrs], 8))
+                ell_t=_build_uniform([m.T.tocsr() for m in csrs], 8),
+                ell_ev_fwd=ev_fwd, ell_ev_t=ev_t)
         return out
 
     def get_edge_list(self, origin_base_path, start_idx, duration, sep="\t"):

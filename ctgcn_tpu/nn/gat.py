@@ -55,9 +55,18 @@ class SpGraphAttentionLayer:
         edge_e = jnp.exp(-jax.nn.leaky_relu(logit, self.alpha))
         edge_e = jnp.where(adj.nnz_mask(), edge_e, 0.0)
         n = adj.n_rows
-        rowsum = spmm_ev(src, dst, edge_e, jnp.ones((n, 1), h.dtype), n)
-        edge_e = _dropout(edge_e, self.dropout, key)
-        h_prime = spmm_ev(src, dst, edge_e, h, n)
+        if adj.ell_ev_fwd is not None:
+            # scatter-free attention aggregation at scale (ops/ell.py)
+            from ctgcn_tpu.ops.ell import ell_spmm_ev
+
+            rowsum = ell_spmm_ev(adj.ell_ev_fwd, adj.ell_ev_t, edge_e,
+                                 jnp.ones((n, 1), h.dtype))
+            edge_e = _dropout(edge_e, self.dropout, key)
+            h_prime = ell_spmm_ev(adj.ell_ev_fwd, adj.ell_ev_t, edge_e, h)
+        else:
+            rowsum = spmm_ev(src, dst, edge_e, jnp.ones((n, 1), h.dtype), n)
+            edge_e = _dropout(edge_e, self.dropout, key)
+            h_prime = spmm_ev(src, dst, edge_e, h, n)
         h_prime = h_prime / jnp.maximum(rowsum, 1e-12)
         return jax.nn.elu(h_prime) if self.concat else h_prime
 

@@ -184,6 +184,152 @@ def _build_uniform(csrs, min_width):
     return _stack_plans(plans)
 
 
+@struct.dataclass
+class EllEvBucket:
+    cols: jnp.ndarray   # int32[nb, K] source columns (0 on padding)
+    eids: jnp.ndarray   # int32[nb, K] edge slot ids into the flat arrays
+    mask: jnp.ndarray   # f32[nb, K]   1 on real edges, 0 on padding
+
+
+@struct.dataclass
+class EllEvPlan:
+    """ELL plan with DYNAMIC edge values (attention-style SpMM).
+
+    Bucket tables carry edge ids instead of baked values; each call
+    gathers the current per-edge values (``vals[eids] * mask``), so the
+    scatter-free formulation also serves GAT's softmax-weighted
+    aggregation (reference gat.py:86-96) where values change every step.
+    """
+
+    buckets: tuple
+    inv_perm: jnp.ndarray
+    flat_rows: jnp.ndarray   # int32[P] (the SparseGraph padded COO rows)
+    flat_cols: jnp.ndarray   # int32[P]
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+
+
+def build_ell_ev_plan(rows, cols, nnz_mask, n_rows, n_cols,
+                      min_width=8, spec=None) -> EllEvPlan:
+    """Host build from padded COO (rows[P], cols[P], nnz_mask[P])."""
+    import scipy.sparse as sp
+
+    rows = np.asarray(rows).astype(np.int64)
+    cols = np.asarray(cols).astype(np.int64)
+    # eid+1 survives the float32 bucket packing exactly below 2^24
+    assert rows.shape[0] < (1 << 24), "edge capacity exceeds f32-exact ids"
+    nnz_mask = np.asarray(nnz_mask)
+    eids = np.arange(rows.shape[0], dtype=np.int64)
+    r, c, e = rows[nnz_mask], cols[nnz_mask], eids[nnz_mask]
+    # CSR of (eid + 1) reuses sorted-row packing; 0 = padding sentinel
+    csr = sp.coo_matrix((e + 1, (r, c)), shape=(n_rows, n_cols)).tocsr()
+    width = _row_widths(csr, min_width)
+    if spec is None:
+        widths = sorted(set(int(w) for w in width))
+        spec = [(w, int(np.sum(width == w))) for w in widths]
+    buckets, inv_perm = _build_buckets(csr, width, spec)
+    ev_buckets = tuple(
+        EllEvBucket(
+            cols=b.cols,
+            eids=jnp.asarray(
+                np.maximum(np.asarray(b.vals).astype(np.int64) - 1, 0)
+                .astype(np.int32)),
+            mask=jnp.asarray(
+                (np.asarray(b.vals) != 0).astype(np.float32)))
+        for b in buckets)
+    return EllEvPlan(buckets=ev_buckets,
+                     inv_perm=jnp.asarray(inv_perm.astype(np.int32)),
+                     flat_rows=jnp.asarray(rows.astype(np.int32)),
+                     flat_cols=jnp.asarray(cols.astype(np.int32)),
+                     n_rows=n_rows, n_cols=n_cols)
+
+
+def build_ell_ev_plans(rows, cols, nnz_mask, n_rows, n_cols, min_width=8):
+    """(fwd, transpose) pair; both index the SAME flat edge array."""
+    return (build_ell_ev_plan(rows, cols, nnz_mask, n_rows, n_cols,
+                              min_width),
+            build_ell_ev_plan(cols, rows, nnz_mask, n_cols, n_rows,
+                              min_width))
+
+
+def build_window_ell_ev_plans(rows, cols, nnz_masks, n_rows, n_cols,
+                              min_width=8):
+    """[T, P] padded COO window → stacked (fwd, t) EllEvPlans whose leaves
+    carry a leading [T] axis (unified bucket spec across t, like
+    ``build_pyramid_ell_plans``)."""
+    import scipy.sparse as sp
+
+    T = rows.shape[0]
+
+    def union_spec(rc_list):
+        widths = []
+        for r, c, m in rc_list:
+            csr = sp.coo_matrix(
+                (np.ones(int(m.sum())), (np.asarray(r)[m], np.asarray(c)[m])),
+                shape=(n_rows, n_cols)).tocsr()
+            widths.append(_row_widths(csr, min_width))
+        all_w = sorted({int(w) for ws in widths for w in ws})
+        return [(w, max(int(np.sum(ws == w)) for ws in widths))
+                for w in all_w]
+
+    fwd_list = [(rows[t], cols[t], np.asarray(nnz_masks[t]))
+                for t in range(T)]
+    t_list = [(cols[t], rows[t], np.asarray(nnz_masks[t]))
+              for t in range(T)]
+
+    def build(rc_list, nr, nc):
+        spec = union_spec(rc_list)
+        plans = [build_ell_ev_plan(r, c, m, nr, nc, min_width, spec=spec)
+                 for r, c, m in rc_list]
+        buckets = tuple(
+            EllEvBucket(
+                cols=jnp.stack([p.buckets[i].cols for p in plans]),
+                eids=jnp.stack([p.buckets[i].eids for p in plans]),
+                mask=jnp.stack([p.buckets[i].mask for p in plans]))
+            for i in range(len(plans[0].buckets)))
+        return EllEvPlan(
+            buckets=buckets,
+            inv_perm=jnp.stack([p.inv_perm for p in plans]),
+            flat_rows=jnp.stack([p.flat_rows for p in plans]),
+            flat_cols=jnp.stack([p.flat_cols for p in plans]),
+            n_rows=nr, n_cols=nc)
+
+    return (build(fwd_list, n_rows, n_cols), build(t_list, n_cols, n_rows))
+
+
+def _ell_ev_apply(plan: EllEvPlan, vals, x):
+    outs = []
+    for b in plan.buckets:
+        v = vals[b.eids] * b.mask                    # [nb, K]
+        g = x[b.cols] * v[:, :, None]                # [nb, K, d]
+        outs.append(jnp.sum(g, axis=1))
+    cat = jnp.concatenate(outs, axis=0)
+    return jnp.take(cat, plan.inv_perm, axis=0)
+
+
+@jax.custom_vjp
+def ell_spmm_ev(fwd_plan: EllEvPlan, t_plan: EllEvPlan, vals, x):
+    """A(vals) @ x; differentiable in vals AND x (the ELL answer to
+    ``spmm_ev``).  dvals is a flat SDDMM (gather-only); dx = A^T @ g."""
+    return _ell_ev_apply(fwd_plan, vals, x)
+
+
+def _ev_fwd(fwd_plan, t_plan, vals, x):
+    return _ell_ev_apply(fwd_plan, vals, x), (fwd_plan, t_plan, vals, x)
+
+
+def _ev_bwd(res, g):
+    fwd_plan, t_plan, vals, x = res
+    dx = _ell_ev_apply(t_plan, vals, g)[: x.shape[0]]
+    # dvals_e = g[row_e] . x[col_e] — no scatter; padding cotangents are
+    # harmless (the caller's nnz mask zeroes them downstream)
+    dvals = jnp.sum(g[fwd_plan.flat_rows] * x[fwd_plan.flat_cols], axis=-1)
+    return None, None, dvals, dx
+
+
+ell_spmm_ev.defvjp(_ev_fwd, _ev_bwd)
+
+
 def build_pyramid_ell_plans(stacked_rows, stacked_cols, stacked_vals,
                             valid, n_nodes, min_width=8):
     """Core-pyramid [T, K, P] COO slots → stacked per-t ELL plan pair.

@@ -46,6 +46,10 @@ class SparseGraph:
     # through spmm_ev instead).
     ell_fwd: object | None = None
     ell_t: object | None = None
+    # Dynamic-value variant (ops/ell.EllEvPlan pair) for attention-style
+    # layers whose edge values are computed per step (GAT).
+    ell_ev_fwd: object | None = None
+    ell_ev_t: object | None = None
 
     @property
     def capacity(self) -> int:

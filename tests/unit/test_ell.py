@@ -153,3 +153,67 @@ def test_gcn_forward_matches_with_ell_adjacency(tmp_path, rng):
     o_ell = jax.jit(lambda m, a, x: m(x, a))(model, ell, xs)
     np.testing.assert_allclose(np.asarray(o_ell), np.asarray(o_seg),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ell_ev_matches_spmm_ev(rng):
+    """Dynamic-value ELL == segment spmm_ev, values and x grads included."""
+    from ctgcn_tpu.ops.sparse import from_scipy
+    from ctgcn_tpu.ops.spmm import spmm_ev
+    from ctgcn_tpu.ops.ell import build_ell_ev_plans, ell_spmm_ev
+
+    A = _powerlaw(rng, n=90, m=90)
+    g = from_scipy(A)
+    P = g.capacity
+    fwd, t = build_ell_ev_plans(np.asarray(g.rows), np.asarray(g.cols),
+                                np.asarray(g.vals) != 0, 90, 90)
+    vals = jnp.asarray(rng.rand(P).astype(np.float32))
+    vals = jnp.where(g.nnz_mask(), vals, 0.0)
+    x = jnp.asarray(rng.randn(90, 11).astype(np.float32))
+
+    out_ref = spmm_ev(g.rows, g.cols, vals, x, 90)
+    out_ell = jax.jit(ell_spmm_ev)(fwd, t, vals, x)
+    np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ell(vals, x):
+        return jnp.sum(jnp.tanh(ell_spmm_ev(fwd, t, vals, x)))
+
+    def loss_ref(vals, x):
+        return jnp.sum(jnp.tanh(spmm_ev(g.rows, g.cols, vals, x, 90)))
+
+    gv_e, gx_e = jax.grad(loss_ell, argnums=(0, 1))(vals, x)
+    gv_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(vals, x)
+    np.testing.assert_allclose(np.asarray(gx_e), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    # padding-slot val cotangents may differ (both are masked downstream)
+    m = np.asarray(g.nnz_mask())
+    np.testing.assert_allclose(np.asarray(gv_e)[m], np.asarray(gv_r)[m],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gat_forward_matches_with_ell_ev(rng):
+    """GAT layer: ELL-ev path == segment path (fwd + grads)."""
+    from ctgcn_tpu.ops.sparse import from_scipy
+    from ctgcn_tpu.ops.ell import build_ell_ev_plans
+    from ctgcn_tpu.nn.gat import SpGraphAttentionLayer
+
+    A = _powerlaw(rng, n=40, m=40)
+    A.data[:] = 1.0
+    g = from_scipy(A)
+    ev_fwd, ev_t = build_ell_ev_plans(
+        np.asarray(g.rows), np.asarray(g.cols), np.asarray(g.vals) != 0,
+        40, 40)
+    g_ell = g.replace(ell_ev_fwd=ev_fwd, ell_ev_t=ev_t)
+    layer = SpGraphAttentionLayer.init(jax.random.key(0), 12, 6,
+                                       dropout=0.0, alpha=0.2)
+    x = jnp.asarray(rng.randn(40, 12).astype(np.float32))
+    o_seg = layer(x, g)
+    o_ell = jax.jit(lambda l, x, a: l(x, a))(layer, x, g_ell)
+    np.testing.assert_allclose(np.asarray(o_ell), np.asarray(o_seg),
+                               rtol=1e-4, atol=1e-5)
+
+    g_seg = jax.grad(lambda l: jnp.sum(jnp.tanh(l(x, g))))(layer)
+    g_ell_g = jax.grad(lambda l: jnp.sum(jnp.tanh(l(x, g_ell))))(layer)
+    for a, b in zip(jax.tree.leaves(g_ell_g), jax.tree.leaves(g_seg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

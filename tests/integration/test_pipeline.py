@@ -244,3 +244,27 @@ def test_tg_alias_routes_to_native_impl(preprocessed):
         preprocessed, "TgGCN", model_file="tggcn", duration=1, end_idx=0))
     emb_dir = os.path.join(preprocessed, "2.embedding", "TgGCN")
     assert len(os.listdir(emb_dir)) == 1
+
+
+@pytest.mark.integration
+def test_ctgcn_c_multichip_ell_backend(preprocessed):
+    """ELL pyramid backend on the 8-device mesh (plan leaves carry a
+    leading [T] axis, so the time sharding slices them) == single-device
+    segment run."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    common = dict(core_folder="cores", max_core=-1, trans_layer_num=1,
+                  diffusion_layer_num=2, model_type="C", rnn_type="GRU",
+                  trans_activate_type="L", seed=7)
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_seg1", model_file="ctgcn_seg1",
+        core_backend="segment", **common))
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_ell8", model_file="ctgcn_ell8",
+        core_backend="ell", n_devices=8, **common))
+    d1 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_seg1")
+    d8 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_ell8")
+    for f in sorted(os.listdir(d1)):
+        a = pd.read_csv(os.path.join(d1, f), sep="\t", index_col=0).values
+        b = pd.read_csv(os.path.join(d8, f), sep="\t", index_col=0).values
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)

@@ -53,6 +53,10 @@ def core_numbers(adj) -> np.ndarray:
     """
     A = adj.tocsr().astype(bool).astype(np.int8)
     A.eliminate_zeros()
+    from ctgcn_tpu import native
+
+    if native.available():  # C++ bucket-queue peel (native/hostgraph.cpp)
+        return native.core_numbers(A)
     indptr, indices = A.indptr, A.indices
     n = A.shape[0]
     deg = np.diff(indptr).astype(np.int64)

@@ -36,6 +36,16 @@ def simulate_walks(adj, walk_length, walk_time, weighted=True, rng=None):
 
     Returns int32[n_walks, walk_length + 1] node ids.
     """
+    if rng is None:
+        # production path: C++ kernel (native/hostgraph.cpp) — per-walk
+        # splitmix64 streams + binary-search inverse-CDF straight off CSR,
+        # no padded [N, max_deg] tables.  An explicit ``rng`` pins the
+        # numpy sampler (deterministic tests / exact stream control).
+        from ctgcn_tpu import native
+
+        if native.available():
+            return native.simulate_walks(adj.tocsr(), walk_length, walk_time,
+                                         weighted=weighted)
     rng = rng if rng is not None else np.random
     A = adj.tocsr()
     n = A.shape[0]

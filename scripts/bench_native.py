@@ -1,0 +1,116 @@
+# coding: utf-8
+"""Host-graph kernel benchmark: C++ (ctgcn_tpu/native) vs numpy vs networkx.
+
+The regime that matters is the reference's larger datasets (AS: ~7.7k nodes
+x 733 snapshots; Facebook: ~61k nodes — reference README.md:170-178), where
+preprocessing is a real cost: the reference shells out to networkx per
+snapshot per k (structure_generation.py:32-56) and walks one node at a time
+(random_walk.py:21-49).
+
+Run (idle machine): timeout 560 python scripts/bench_native.py
+Writes data/bench_native.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import networkx as nx
+import scipy.sparse as sp
+
+
+def powerlaw_graph(n, avg_deg, seed=0):
+    """Configuration-model-ish power-law graph as symmetric CSR."""
+    rng = np.random.default_rng(seed)
+    # degree-propensity sampling: endpoints drawn ∝ zipf weights
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** -0.8
+    rng.shuffle(w)
+    p = w / w.sum()
+    m = int(n * avg_deg / 2)
+    src = rng.choice(n, size=m, p=p)
+    dst = rng.choice(n, size=m, p=p)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    vals = rng.random(src.shape[0]) + 0.5
+    A = sp.coo_matrix((vals, (src, dst)), shape=(n, n))
+    A = A + A.T
+    A = A.tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def timeit(fn, reps=3):
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    from ctgcn_tpu import native
+    from ctgcn_tpu.preprocessing import kcore, walks
+
+    assert native.available(), "build the native lib first"
+    results = {}
+
+    for name, n, avg_deg in [("as_scale", 7716, 60),
+                             ("facebook_scale", 61440, 30)]:
+        A = powerlaw_graph(n, avg_deg, seed=1)
+        Abin = A.astype(bool).astype(np.int8)
+        print(f"{name}: n={n} nnz={A.nnz}")
+
+        t_nat, c_nat = timeit(lambda: native.core_numbers(Abin))
+        # numpy peel (the fallback): force-disable native inside the call
+        os.environ["CTGCN_TPU_NATIVE"] = "0"
+        native._lib = None
+        t_np, c_np = timeit(lambda: kcore.core_numbers(A))
+        os.environ.pop("CTGCN_TPU_NATIVE")
+        native._lib = None
+        assert np.array_equal(c_nat, c_np), "core parity failure"
+        t_nx = None
+        if n <= 10000:
+            G = nx.from_scipy_sparse_array(A)
+            t_nx, c_nx = timeit(lambda: nx.core_number(G), reps=1)
+            want = np.array([c_nx[i] for i in range(n)])
+            assert np.array_equal(c_nat, want)
+        results[f"{name}/core"] = {
+            "nnz": int(A.nnz), "max_core": int(c_nat.max()),
+            "native_s": round(t_nat, 4), "numpy_s": round(t_np, 4),
+            "networkx_s": round(t_nx, 4) if t_nx else None,
+            "native_speedup_vs_numpy": round(t_np / t_nat, 1),
+        }
+        print(" core:", results[f"{name}/core"])
+
+        # walks: reference UCI config walk_time=100, walk_length=5
+        wt, wl = (100, 5) if n <= 10000 else (20, 5)
+        t_nat_w, w_nat = timeit(
+            lambda: native.simulate_walks(A, wl, wt, weighted=True, seed=3),
+            reps=1)
+        t_np_w, w_np = timeit(
+            lambda: walks.simulate_walks(
+                A, wl, wt, weighted=True, rng=np.random.RandomState(3)),
+            reps=1)
+        assert w_nat.shape == w_np.shape
+        results[f"{name}/walks"] = {
+            "walk_time": wt, "walk_length": wl,
+            "n_walks": int(w_nat.shape[0]),
+            "native_s": round(t_nat_w, 4), "numpy_s": round(t_np_w, 4),
+            "native_speedup_vs_numpy": round(t_np_w / t_nat_w, 1),
+        }
+        print(" walks:", results[f"{name}/walks"])
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "bench_native.json")
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

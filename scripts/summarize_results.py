@@ -105,16 +105,20 @@ def main():
                 f"- bf16 pyramid bank (`matmul_precision: \"bf16\"`): "
                 f"**{flag['CTGCN-C-bf16']['Had']:.4f}** — quality-neutral.")
 
-    # ---- america-air node classification ------------------------------
-    abase = os.path.join(ROOT, "data", "america_air")
-    areps = sorted(int(d.rsplit("_", 1)[1]) for d in glob.glob(
-        os.path.join(abase, "nodecls_res_*")))
-    amethods = sorted({os.path.basename(f).replace("_acc_record.csv", "")
-                       for r in areps
-                       for f in glob.glob(os.path.join(
-                           abase, f"nodecls_res_{r}", "*_acc_record.csv"))})
-    if amethods:
-        out.append(f"\n## America-Air node classification (reps: {areps})\n")
+    # ---- labeled-dataset node classification ---------------------------
+    for ds, title in (("america_air", "America-Air"),
+                      ("europe_air", "Europe-Air")):
+        abase = os.path.join(ROOT, "data", ds)
+        areps = sorted(int(d.rsplit("_", 1)[1]) for d in glob.glob(
+            os.path.join(abase, "nodecls_res_*")))
+        amethods = sorted({os.path.basename(f).replace("_acc_record.csv", "")
+                           for r in areps
+                           for f in glob.glob(os.path.join(
+                               abase, f"nodecls_res_{r}",
+                               "*_acc_record.csv"))})
+        if not amethods:
+            continue
+        out.append(f"\n## {title} node classification (reps: {areps})\n")
         out.append("| method | acc (mean over dates & reps) | reps |")
         out.append("|---|---|---|")
         arows = []
@@ -123,6 +127,8 @@ def main():
             for r in areps:
                 p = os.path.join(abase, f"nodecls_res_{r}",
                                  f"{m}_acc_record.csv")
+                if not os.path.exists(p):
+                    continue
                 df = pd.read_csv(p)
                 if not df.empty:
                     vals.append(df["acc"].mean())

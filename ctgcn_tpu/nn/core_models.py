@@ -255,12 +255,12 @@ class CTGCN:
                      norm=LayerNorm.init(output_dim), duration=duration,
                      model_type=model_type)
 
-    def __call__(self, xs, pyramids):
-        """xs: [T, N, in] or None; pyramids: stacked [T, K, P] leaves.
-
-        Returns [T, N, out] embeddings ('C'), or (embeddings, trans [T, N, d])
-        for the 'S' variant.
-        """
+    def per_timestep(self, xs, pyramids):
+        """The embarrassingly-parallel half of the forward: per-timestep
+        MLP+CDN stacks over the window.  Returns (hx [T, N, out],
+        trans [T, N, d]).  Factored out so the temporal-pipeline path
+        (parallel/pipeline.ctgcn_pipelined_forward) can reuse it and swap
+        only the sequential time RNN."""
         def per_t(mlp, cdn, x, pyr):
             trans = _mlp_maybe_identity(mlp, x)
             emb = cdn(trans, pyr)
@@ -279,6 +279,15 @@ class CTGCN:
                                     (self.mlps, self.cdns, xs, pyramids))
         else:
             hx, trans = jax.vmap(per_t)(self.mlps, self.cdns, xs, pyramids)
+        return hx, trans
+
+    def __call__(self, xs, pyramids):
+        """xs: [T, N, in] or None; pyramids: stacked [T, K, P] leaves.
+
+        Returns [T, N, out] embeddings ('C'), or (embeddings, trans [T, N, d])
+        for the 'S' variant.
+        """
+        hx, trans = self.per_timestep(xs, pyramids)
         # hx: [T, N, out] — time-axis RNN (batch = nodes), then LayerNorm
         outs, _ = rnn_scan(self.rnn, hx)
         out = self.norm(outs)

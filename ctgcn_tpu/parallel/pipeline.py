@@ -65,7 +65,10 @@ def pipelined_rnn_scan(mesh, cell, xs, axis="stage", n_microbatch=None):
     # [T, N, d] → stage-major [P, t_chunk, K, nmb, d]
     xs_s = xs.reshape(p, t_chunk, k, nmb, xs.shape[-1])
 
-    def stage_fn(x_local):
+    def stage_fn(x_local, cell):
+        # ``cell`` enters as an explicit replicated argument (NOT a closure:
+        # closed-over leaves placed with NamedShardings by the trainer carry
+        # an Auto-mesh sharding that clashes inside the Manual region)
         x_local = x_local[0]                 # [t_chunk, K, nmb, d]
         stage = jax.lax.axis_index(axis)
         zero_carry = jax.tree.map(
@@ -107,8 +110,43 @@ def pipelined_rnn_scan(mesh, cell, xs, axis="stage", n_microbatch=None):
 
     fn = shard_map(
         stage_fn, mesh=mesh,
-        in_specs=(P(axis),),
+        in_specs=(P(axis), P()),
         out_specs=P(axis),
     )
-    ys = fn(xs_s)                            # [P, t_chunk, K, nmb, H]
+    ys = fn(xs_s, cell)                      # [P, t_chunk, K, nmb, H]
     return ys.reshape(T, N, -1)
+
+
+def pick_microbatch(n_nodes, n_stages, cap_factor=4):
+    """Largest divisor of ``n_nodes`` at most ``cap_factor * n_stages`` —
+    enough microbatches to keep every stage busy in steady state without
+    shrinking the per-tick node tile below usefulness.  k=1 (no divisor)
+    degenerates to sequential stage execution but stays correct."""
+    for k in range(min(cap_factor * n_stages, n_nodes), 0, -1):
+        if n_nodes % k == 0:
+            return k
+    return 1
+
+
+def ctgcn_pipelined_forward(mesh, model, xs, pyramids, axis="time",
+                            n_microbatch=None):
+    """CTGCN forward with the temporal RNN GPipe-pipelined over ``axis``.
+
+    Product path for the ``temporal_pipeline`` config key: the per-timestep
+    MLP+CDN stacks already shard over the mesh's time axis (GSPMD,
+    parallel/mesh.embedding_shardings); this swaps the sequential
+    ``rnn_scan`` for ``pipelined_rnn_scan``, so the [T, N, d] hidden bank is
+    never all-gathered and the recurrence itself runs P-way pipelined —
+    the SURVEY §5 long-context analogue, wired into the embedding task.
+
+    Window length must divide by the mesh's stage count (the driver's
+    ``_make_product_mesh`` guarantees it).
+    """
+    hx, trans = model.per_timestep(xs, pyramids)
+    k = n_microbatch or pick_microbatch(hx.shape[1], mesh.shape[axis])
+    outs = pipelined_rnn_scan(mesh, model.rnn, hx, axis=axis,
+                              n_microbatch=k)
+    out = model.norm(outs)
+    if model.model_type == "C":
+        return out
+    return out, trans

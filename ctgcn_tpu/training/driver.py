@@ -225,15 +225,26 @@ def get_gnn_model(method, time_length, args, key):
                       trans_activate_type=trans_activate_type)
 
 
-def make_forward(method):
+def make_forward(method, pipeline_mesh=None):
     """Build fwd(model, data, key) -> embs [T, N, d] (plus trans for
     S-variants, plus (h, loss_data) for VGRNN).
 
     ``data`` is the window-input pytree built by the driver and threaded
     through jit AS AN ARGUMENT — closing over the banks would embed them as
     HLO constants and blow up compilation for dense pyramids.
+
+    ``pipeline_mesh`` (CTGCN only — config ``temporal_pipeline: true`` with
+    ``n_devices``): run the temporal GRU/LSTM GPipe-pipelined over the
+    mesh's time axis instead of as one replicated scan
+    (parallel/pipeline.ctgcn_pipelined_forward).
     """
-    if method in get_core_based_methods():
+    if pipeline_mesh is not None and method in ("CTGCN-C", "CTGCN-S"):
+        from ctgcn_tpu.parallel.pipeline import ctgcn_pipelined_forward
+
+        def fwd(model, data, key=None):
+            return ctgcn_pipelined_forward(pipeline_mesh, model,
+                                           data["xs"], data["adjs"])
+    elif method in get_core_based_methods():
         def fwd(model, data, key=None):
             return model(data["xs"], data["adjs"])
     elif method in ("SAGE", "TgSAGE"):
@@ -475,13 +486,18 @@ def gnn_embedding(method, args):
         }
         key, k_model = jax.random.split(key)
         model = get_gnn_model(method, time_length, args, k_model)
-        fwd = make_forward(method)
+        mesh = _make_product_mesh(args, time_length)
+        pipeline_mesh = (mesh if (mesh is not None
+                                  and args.get("temporal_pipeline", False)
+                                  and method in ("CTGCN-C", "CTGCN-S"))
+                         else None)
+        fwd = make_forward(method, pipeline_mesh=pipeline_mesh)
         cost = _run_window(method, model, fwd, data, data_loader, args, idx,
                            time_length, edge_list, learning_type, base_path,
                            origin_folder, embedding_folder, node_list,
                            model_folder, model_file, epoch, batch_size, lr,
                            weight_decay, load_model, shuffle, export,
-                           seed + widx)
+                           seed + widx, mesh)
         time_list.append(cost)
 
     if record_time:
@@ -496,7 +512,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
                 time_length, edge_list, learning_type, base_path,
                 origin_folder, embedding_folder, node_list, model_folder,
                 model_file, epoch, batch_size, lr, weight_decay, load_model,
-                shuffle, export, seed):
+                shuffle, export, seed, mesh=None):
     is_s_variant = method in ("CGCN-S", "CTGCN-S")
     is_vgrnn = method == "VGRNN"
 
@@ -549,7 +565,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
             base_path=base_path, origin_folder=origin_folder,
             embedding_folder=embedding_folder, node_list=node_list,
             model=model, loss_fn=loss_fn, embed_fn=embed_fn, data=data,
-            model_folder=model_folder, mesh=_make_product_mesh(args, time_length),
+            model_folder=model_folder, mesh=mesh,
             time_length=time_length)
         return trainer.learn_embedding(
             epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
@@ -704,7 +720,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         embedding_folder=embedding_folder, node_list=node_list, model=model,
         classifier=classifier, forward_fn=forward_fn, loss_fn=loss_fn,
         embed_fn=embed_fn, data=data, auc_fn=auc_fn,
-        model_folder=model_folder, mesh=_make_product_mesh(args, time_length),
+        model_folder=model_folder, mesh=mesh,
         time_length=time_length)
     tr, va, te = splits["train"], splits["val"], splits["test"]
     return trainer.learn_embedding(

@@ -268,3 +268,29 @@ def test_ctgcn_c_multichip_ell_backend(preprocessed):
         a = pd.read_csv(os.path.join(d1, f), sep="\t", index_col=0).values
         b = pd.read_csv(os.path.join(d8, f), sep="\t", index_col=0).values
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.integration
+def test_ctgcn_c_temporal_pipeline_matches_single_device(preprocessed):
+    """temporal_pipeline: true routes the CTGCN forward through the GPipe
+    pipelined temporal RNN (parallel/pipeline.ctgcn_pipelined_forward) on
+    the product mesh; training + export must match the plain single-device
+    run (the pipelined scan is the same recurrence, re-scheduled)."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    common = dict(core_folder="cores", max_core=-1, trans_layer_num=1,
+                  diffusion_layer_num=2, model_type="C", rnn_type="GRU",
+                  trans_activate_type="L", seed=31)
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_nopipe", model_file="ctgcn_nopipe", **common))
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_pipe", model_file="ctgcn_pipe",
+        n_devices=8, temporal_pipeline=True, **common))
+    d1 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_nopipe")
+    dp = os.path.join(preprocessed, "2.embedding", "CTGCN-C_pipe")
+    files = sorted(os.listdir(d1))
+    assert files == sorted(os.listdir(dp)) and len(files) == N_SNAPSHOTS
+    for f in files:
+        a = pd.read_csv(os.path.join(d1, f), sep="\t", index_col=0).values
+        b = pd.read_csv(os.path.join(dp, f), sep="\t", index_col=0).values
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)

@@ -26,10 +26,10 @@ def _load():
     if os.environ.get("CTGCN_TPU_NATIVE", "1") == "0":
         _lib = False
         return _lib
-    from ctgcn_tpu.native.build import LIB, build
+    from ctgcn_tpu.native.build import LIB, build, stale
 
     try:
-        if not os.path.exists(LIB):
+        if stale():
             build()
         lib = ctypes.CDLL(LIB)
     except Exception:
@@ -43,7 +43,7 @@ def _load():
     lib.hg_core_numbers.restype = None
     lib.hg_simulate_walks.argtypes = [
         ctypes.c_int64, i64p, i32p, ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_uint64, i32p]
+        ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32, i32p]
     lib.hg_simulate_walks.restype = None
     _lib = lib
     return _lib
@@ -70,8 +70,27 @@ def core_numbers(A) -> np.ndarray:
     return core
 
 
-def simulate_walks(A, walk_length, walk_time, weighted=True,
-                   seed=None) -> np.ndarray:
+def _default_threads():
+    """OpenMP thread budget: respect OMP_NUM_THREADS when set; inside a
+    multiprocessing Pool worker default to 1 (the preprocessing fan-out
+    already owns the cores — an uncapped parallel-for per worker
+    oversubscribes the host, the exact failure mode CLAUDE.md documents
+    for sklearn/BLAS)."""
+    env = os.environ.get("OMP_NUM_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    import multiprocessing
+
+    if multiprocessing.parent_process() is not None:
+        return 1
+    return 0  # 0 = let OpenMP use its default (whole machine)
+
+
+def simulate_walks(A, walk_length, walk_time, weighted=True, seed=None,
+                   n_threads=None) -> np.ndarray:
     """``walk_time`` walks of ``walk_length+1`` nodes from every node, in
     the reference layout (walks.py:60-62).  Weighted hops sample by the
     per-row inclusive weight running sum (inverse-CDF binary search)."""
@@ -79,22 +98,26 @@ def simulate_walks(A, walk_length, walk_time, weighted=True,
     assert lib, "native library unavailable"
     indptr, indices = _csr_arrays(A)
     n = A.shape[0]
-    if weighted:
+    nnz = int(indptr[-1])
+    if weighted and nnz > 0:
         # per-row inclusive cumsum, vectorized: global cumsum minus the
         # running total at each row start
-        data = np.asarray(A.data, dtype=np.float64)
+        data = np.asarray(A.data, dtype=np.float64)[:nnz]
         g = np.cumsum(data)
         row_base = np.repeat(g[indptr[:-1] - 1] * (indptr[:-1] > 0),
                              np.diff(indptr))
-        cumw = np.ascontiguousarray(g[: data.shape[0]] - row_base)
+        cumw = np.ascontiguousarray(g - row_base)
         cumw_ptr = cumw.ctypes.data_as(ctypes.c_void_p)
     else:
+        # unweighted — or edgeless snapshot (every walk stays put; the
+        # uniform path's dead-end handling covers it without touching cumw)
         cumw = None
         cumw_ptr = None
     if seed is None:
         seed = int(np.random.randint(0, 2**63 - 1, dtype=np.int64))
+    nt = _default_threads() if n_threads is None else max(0, int(n_threads))
     walks = np.empty((n * walk_time, walk_length + 1), dtype=np.int32)
     lib.hg_simulate_walks(n, indptr, indices, cumw_ptr,
                           np.int32(walk_time), np.int32(walk_length),
-                          np.uint64(seed), walks)
+                          np.uint64(seed), np.int32(nt), walks)
     return walks

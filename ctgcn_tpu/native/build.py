@@ -19,6 +19,14 @@ SRC = os.path.join(_DIR, "hostgraph.cpp")
 LIB = os.path.join(_DIR, "libhostgraph.so")
 
 
+def stale():
+    """True when the library is missing or older than its source (edits to
+    hostgraph.cpp must not silently run against a cached binary)."""
+    if not os.path.exists(LIB):
+        return True
+    return os.path.getmtime(LIB) < os.path.getmtime(SRC)
+
+
 def build(verbose=False):
     """Compile hostgraph.cpp → libhostgraph.so.  Returns the library path.
 
@@ -27,8 +35,12 @@ def build(verbose=False):
     """
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
     os.close(fd)
+    # no -march=native: the gitignored .so can outlive the host it was
+    # built on (shared checkouts / container rebuilds) and SIGILL; these
+    # kernels are branch/latency-bound, not SIMD-bound, so portable -O3
+    # costs nothing measurable
     cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-           "-march=native", "-funroll-loops", SRC, "-o", tmp]
+           "-funroll-loops", SRC, "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True)
         if res.returncode != 0:

@@ -110,10 +110,21 @@ static inline double uniform01(uint64_t* s) {
 void hg_simulate_walks(int64_t n, const int64_t* indptr,
                        const int32_t* indices, const double* cumw,
                        int32_t walk_time, int32_t walk_length, uint64_t seed,
-                       int32_t* walks) {
+                       int32_t n_threads, int32_t* walks) {
   const int64_t n_walks = n * (int64_t)walk_time;
   const int64_t L = (int64_t)walk_length + 1;
-#pragma omp parallel for schedule(static)
+#ifdef _OPENMP
+  // n_threads > 0 caps the team per-call (the Python wrapper passes 1
+  // inside multiprocessing Pool workers so the file fan-out keeps owning
+  // the cores); 0 = OpenMP default.  num_threads clause, not
+  // omp_set_num_threads — no process-global state.
+  const int team = n_threads > 0 ? (int)n_threads : omp_get_max_threads();
+#else
+  const int team = 1;
+  (void)team;
+  (void)n_threads;
+#endif
+#pragma omp parallel for schedule(static) num_threads(team)
   for (int64_t w = 0; w < n_walks; ++w) {
     uint64_t st = seed ^ (0xD1B54A32D192ED03ULL * (uint64_t)(w + 1));
     (void)splitmix64(&st);  // decorrelate nearby walk ids

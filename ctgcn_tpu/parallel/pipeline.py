@@ -124,8 +124,8 @@ def pick_microbatch(n_nodes, n_stages, cap_factor=4):
     degenerates to sequential stage execution but stays correct."""
     for k in range(min(cap_factor * n_stages, n_nodes), 0, -1):
         if n_nodes % k == 0:
-            return k
-    return 1
+            return k  # k=1 always divides, so the loop always returns
+    raise AssertionError(f"n_nodes={n_nodes} must be positive")
 
 
 def ctgcn_pipelined_forward(mesh, model, xs, pyramids, axis="time",

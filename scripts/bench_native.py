@@ -68,16 +68,19 @@ def main():
     for name, n, avg_deg, max_deg in [("as_scale", 6828, 570, 1458),
                                       ("facebook_scale", 60730, 20, 203)]:
         A = powerlaw_graph(n, avg_deg, max_deg, seed=1)
-        Abin = A.astype(bool).astype(np.int8)
         print(f"{name}: n={n} nnz={A.nnz}")
 
-        t_nat, c_nat = timeit(lambda: native.core_numbers(Abin))
-        # numpy peel (the fallback): force-disable native inside the call
-        os.environ["CTGCN_TPU_NATIVE"] = "0"
-        native._lib = None
-        t_np, c_np = timeit(lambda: kcore.core_numbers(A))
-        os.environ.pop("CTGCN_TPU_NATIVE")
-        native._lib = None
+        # both paths timed END-TO-END through kcore.core_numbers (incl. the
+        # binarize/eliminate_zeros prep both pay); the env toggle restores
+        # exception-safely so a mid-bench failure can't leave native off
+        t_nat, c_nat = timeit(lambda: kcore.core_numbers(A))
+        try:
+            os.environ["CTGCN_TPU_NATIVE"] = "0"
+            native._lib = None
+            t_np, c_np = timeit(lambda: kcore.core_numbers(A))
+        finally:
+            os.environ.pop("CTGCN_TPU_NATIVE", None)
+            native._lib = None
         assert np.array_equal(c_nat, c_np), "core parity failure"
         t_nx = None
         if n <= 10000:

@@ -96,10 +96,15 @@ def main():
             + (f" (our seed spread n={len(seeds)}: {min(seeds):.4f}–"
                f"{max(seeds):.4f})" if seeds else "") + ".")
         if "CTGCN-C_e10" in flag and "CTGCN-C_ref" in flag:
+            e10 = [mean["Had"] for m, mean, _, _, _ in rows
+                   if m == "CTGCN-C_e10" or m.startswith("CTGCN-C_e10_s")]
+            spread = (f" (our {len(e10)}-seed spread: {min(e10):.4f}–"
+                      f"{max(e10):.4f})" if len(e10) > 1 else "")
             out.append(
                 f"- 10 epochs (early-stop regime): "
                 f"**{flag['CTGCN-C_e10']['Had']:.4f}** ours vs "
-                f"**{flag['CTGCN-C_ref']['Had']:.4f}** reference.")
+                f"**{flag['CTGCN-C_ref']['Had']:.4f}** reference (1 seed)"
+                f"{spread}.")
         if "CTGCN-C-bf16" in flag:
             out.append(
                 f"- bf16 pyramid bank (`matmul_precision: \"bf16\"`): "

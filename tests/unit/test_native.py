@@ -63,13 +63,25 @@ def test_core_numbers_through_kcore_module(lib_ok):
 
 
 def test_core_numbers_isolated_nodes(lib_ok):
-    A = sp.csr_matrix((10, 10))
     rows = [0, 1, 1, 2, 2, 0]
     cols = [1, 0, 2, 1, 0, 2]
     A = sp.csr_matrix((np.ones(6), (rows, cols)), shape=(10, 10))
     got = native.core_numbers(A)
     assert list(got[:3]) == [2, 2, 2]
     assert (got[3:] == 0).all()
+    # fully empty matrix: all zeros, no crash
+    empty = sp.csr_matrix((10, 10))
+    assert (native.core_numbers(empty) == 0).all()
+
+
+def test_walks_edgeless_snapshot(lib_ok):
+    """A snapshot with zero edges is valid input (walks stay put) — the
+    weighted cumsum build must not index into the empty data array."""
+    empty = sp.csr_matrix((7, 7))
+    walks = native.simulate_walks(empty, 3, 2, weighted=True, seed=5)
+    assert walks.shape == (14, 4)
+    assert np.array_equal(walks, np.repeat(
+        np.repeat(np.arange(7), 2)[:, None], 4, axis=1))
 
 
 def test_walks_structure(lib_ok):

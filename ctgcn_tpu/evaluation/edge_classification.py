@@ -21,7 +21,7 @@ from ctgcn_tpu.utils import check_and_make_path
 class DataGenerator:
     def __init__(self, base_path, input_folder, output_folder, node_file,
                  label_folder, file_sep="\t", train_ratio=0.7, val_ratio=0.2,
-                 test_ratio=0.1):
+                 test_ratio=0.1, seed=None):
         self.base_path = base_path
         self.input_base_path = os.path.abspath(
             os.path.join(base_path, input_folder))
@@ -44,7 +44,21 @@ class DataGenerator:
         check_and_make_path(self.input_base_path)
         check_and_make_path(self.output_base_path)
 
+        # per-rep seed (see link_prediction.DataGenerator): explicit
+        # per-(rep, file) streams — the global np.random state is
+        # fork-inherited by Pool workers, making unseeded reps collide
+        self.seed = seed
+
+    def _rng(self, file):
+        if self.seed is None:
+            return np.random
+        import zlib
+
+        return np.random.RandomState(
+            zlib.crc32(f"{self.seed}:{file}".encode()) & 0x7FFFFFFF)
+
     def generate_edge_samples(self, file_name, sep="\t"):
+        rng = self._rng(file_name)
         date = file_name.split(".")[0]
         df_edges = pd.read_csv(
             os.path.join(self.label_base_path, file_name), sep=sep, header=0,
@@ -53,7 +67,7 @@ class DataGenerator:
         df_edges["to_id"] = df_edges["to_id"].map(self.node2idx_dict)
         arr = df_edges.values
         n = arr.shape[0]
-        order = np.random.permutation(n)
+        order = rng.permutation(n)
         tr = int(np.floor(n * self.train_ratio))
         va = int(np.floor(n * self.val_ratio))
         te = int(np.floor(n * self.test_ratio))
@@ -225,7 +239,7 @@ def edge_classification(args):
                 output_folder=f"{edgecls_data_folder}_{i}",
                 node_file=node_file, label_folder=elabel_folder,
                 file_sep=file_sep, train_ratio=train_ratio,
-                val_ratio=val_ratio, test_ratio=test_ratio)
+                val_ratio=val_ratio, test_ratio=test_ratio, seed=i)
             if generate:
                 data_generator.generate_edge_samples_all_time(sep=file_sep,
                                                               worker=worker)

@@ -29,7 +29,7 @@ from ctgcn_tpu.utils import check_and_make_path, get_neg_edge_samples, sigmoid
 class DataGenerator:
     def __init__(self, base_path, input_folder, output_folder, node_file,
                  file_sep="\t", train_ratio=0.5, val_ratio=0.2,
-                 test_ratio=0.3):
+                 test_ratio=0.3, seed=None):
         self.base_path = base_path
         self.input_base_path = os.path.join(base_path, input_folder)
         self.output_base_path = os.path.join(base_path, output_folder)
@@ -46,8 +46,22 @@ class DataGenerator:
         self.test_ratio = test_ratio
         check_and_make_path(self.input_base_path)
         check_and_make_path(self.output_base_path)
+        # per-rep seed: the global np.random stream is fork-inherited by
+        # multiprocessing Pool workers, so consecutive reps spawned from an
+        # unchanged parent state shuffle IDENTICALLY (the reference has the
+        # same latent bug) — derive an explicit per-(rep, file) stream
+        self.seed = seed
+
+    def _rng(self, file):
+        if self.seed is None:
+            return np.random
+        import zlib
+
+        return np.random.RandomState(
+            zlib.crc32(f"{self.seed}:{file}".encode()) & 0x7FFFFFFF)
 
     def generate_edge_sample(self, file, sep="\t"):
+        rng = self._rng(file)
         date = file.split(".")[0]
         df = pd.read_csv(os.path.join(self.input_base_path, file), sep=sep)
         src = df.iloc[:, 0].map(self.node2idx_dict).to_numpy(np.int64)
@@ -57,7 +71,7 @@ class DataGenerator:
                           np.concatenate([dst, src]),
                           np.ones(2 * len(src), np.int64)], axis=1)
         all_edge_dict = {(int(u), int(v)): 1 for u, v, _ in edges}
-        np.random.shuffle(edges)
+        rng.shuffle(edges)
         edge_num = edges.shape[0]
         test_num = int(np.floor(edge_num * self.test_ratio))
         val_num = int(np.floor(edge_num * self.val_ratio))
@@ -70,7 +84,8 @@ class DataGenerator:
         for name, pos, n in (("train", train_edges, train_num),
                              ("test", test_edges, test_num),
                              ("val", val_edges, val_num)):
-            both = get_neg_edge_samples(pos, n, all_edge_dict, self.node_num)
+            both = get_neg_edge_samples(pos, n, all_edge_dict, self.node_num,
+                                        rng=rng)
             pd.DataFrame(both, columns=["from_id", "to_id", "label"]).to_csv(
                 os.path.join(self.output_base_path, f"{date}_{name}.csv"),
                 sep=self.file_sep, index=False)
@@ -289,7 +304,7 @@ def link_prediction(args):
                 base_path=base_path, input_folder=origin_folder,
                 output_folder=f"{lp_edge_folder}_{i}", node_file=node_file,
                 file_sep=file_sep, train_ratio=train_ratio,
-                val_ratio=val_ratio, test_ratio=test_ratio)
+                val_ratio=val_ratio, test_ratio=test_ratio, seed=i)
             if generate:
                 data_generator.generate_edge_samples_all_time(sep=file_sep,
                                                               worker=worker)

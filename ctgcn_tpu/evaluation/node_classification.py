@@ -19,7 +19,7 @@ from ctgcn_tpu.utils import check_and_make_path
 class DataGenerator:
     def __init__(self, base_path, input_folder, output_folder, node_file,
                  label_folder, file_sep="\t", train_ratio=0.7, val_ratio=0.2,
-                 test_ratio=0.1):
+                 test_ratio=0.1, seed=None):
         self.base_path = base_path
         self.input_base_path = os.path.abspath(
             os.path.join(base_path, input_folder))
@@ -42,7 +42,21 @@ class DataGenerator:
         check_and_make_path(self.input_base_path)
         check_and_make_path(self.output_base_path)
 
+        # per-rep seed (see link_prediction.DataGenerator): explicit
+        # per-(rep, file) streams — the global np.random state is
+        # fork-inherited by Pool workers, making unseeded reps collide
+        self.seed = seed
+
+    def _rng(self, file):
+        if self.seed is None:
+            return np.random
+        import zlib
+
+        return np.random.RandomState(
+            zlib.crc32(f"{self.seed}:{file}".encode()) & 0x7FFFFFFF)
+
     def generate_node_samples(self, file_name, sep="\t"):
+        rng = self._rng(file_name)
         date = file_name.split(".")[0]
         df_nodes = pd.read_csv(
             os.path.join(self.label_base_path, file_name), sep=sep, header=0,
@@ -51,7 +65,7 @@ class DataGenerator:
         node_arr = df_nodes["node"].values
         label_arr = df_nodes["label"].values
         n = len(df_nodes)
-        order = np.random.permutation(n)
+        order = rng.permutation(n)
         tr = int(np.floor(n * self.train_ratio))
         va = int(np.floor(n * self.val_ratio))
         te = int(np.floor(n * self.test_ratio))
@@ -244,7 +258,7 @@ def node_classification(args):
                 output_folder=f"{nodecls_data_folder}_{i}",
                 node_file=node_file, label_folder=nlabel_folder,
                 file_sep=file_sep, train_ratio=train_ratio,
-                val_ratio=val_ratio, test_ratio=test_ratio)
+                val_ratio=val_ratio, test_ratio=test_ratio, seed=i)
             if generate:
                 data_generator.generate_node_samples_all_time(sep=file_sep,
                                                               worker=worker)

@@ -85,26 +85,29 @@ def main():
     # link-pred AUC identically in both frameworks)
     flag = {m: mean for m, mean, _, _, _ in rows
             if m.startswith("CTGCN-C")}
+
     if "CTGCN-C" in flag and "CTGCN-C_ref50" in flag:
-        seeds = [mean["Had"] for m, mean, _, _, _ in rows
-                 if m.startswith("CTGCN-C_s")]
+        # our 50-epoch seeds: base run + _s* reruns; ref: _ref50 + _ref50_r*
+        ours50 = [mean["Had"] for m, mean, _, _, _ in rows
+                  if m == "CTGCN-C" or m.startswith("CTGCN-C_s")]
+        ref50 = [mean["Had"] for m, mean, _, _, _ in rows
+                 if m == "CTGCN-C_ref50" or m.startswith("CTGCN-C_ref50_r")]
+        fmt = lambda v: (f"**{np.mean(v):.4f}** mean of {len(v)} seeds "
+                         f"[{min(v):.4f}–{max(v):.4f}]" if len(v) > 1
+                         else f"**{v[0]:.4f}** (1 seed)")
         out.append(
             f"\nFlagship CTGCN-C Had AUC, matched-epoch pairs (same splits "
-            f"and eval):\n"
-            f"- 50 epochs (config): **{flag['CTGCN-C']['Had']:.4f}** ours vs "
-            f"**{flag['CTGCN-C_ref50']['Had']:.4f}** reference"
-            + (f" (our seed spread n={len(seeds)}: {min(seeds):.4f}–"
-               f"{max(seeds):.4f})" if seeds else "") + ".")
+            f"and eval, 3 independent edge-split reps each):\n"
+            f"- 50 epochs (config): {fmt(ours50)} ours vs {fmt(ref50)} "
+            f"reference.")
         if "CTGCN-C_e10" in flag and "CTGCN-C_ref" in flag:
             e10 = [mean["Had"] for m, mean, _, _, _ in rows
                    if m == "CTGCN-C_e10" or m.startswith("CTGCN-C_e10_s")]
-            spread = (f" (our {len(e10)}-seed spread: {min(e10):.4f}–"
-                      f"{max(e10):.4f})" if len(e10) > 1 else "")
+            ref10 = [mean["Had"] for m, mean, _, _, _ in rows
+                     if m == "CTGCN-C_ref" or m.startswith("CTGCN-C_ref_r")]
             out.append(
-                f"- 10 epochs (early-stop regime): "
-                f"**{flag['CTGCN-C_e10']['Had']:.4f}** ours vs "
-                f"**{flag['CTGCN-C_ref']['Had']:.4f}** reference (1 seed)"
-                f"{spread}.")
+                f"- 10 epochs (early-stop regime): {fmt(e10)} ours vs "
+                f"{fmt(ref10)} reference.")
         if "CTGCN-C-bf16" in flag:
             out.append(
                 f"- bf16 pyramid bank (`matmul_precision: \"bf16\"`): "

@@ -100,3 +100,42 @@ def test_walk_artifacts_contract(tmp_path, rng):
     freq = json.load(open(tmp_path / "t0.json"))
     assert all(0 <= i < n for i in freq)
     assert len(freq) > 0
+
+
+def test_eval_split_reps_are_distinct(tmp_path):
+    """Per-rep seeded DataGenerators must produce DIFFERENT splits for
+    different reps and IDENTICAL splits for the same rep — the unseeded
+    global-np.random path collides across reps when generation runs in
+    fork-inherited Pool workers (bug found in committed lp_data_1/2)."""
+    import pandas as pd
+    from ctgcn_tpu.evaluation.link_prediction import DataGenerator
+
+    base = tmp_path
+    (base / "1.format").mkdir()
+    (base / "nodes_set").mkdir()
+    names = [f"N{i}" for i in range(30)]
+    pd.DataFrame({"n": names}).to_csv(base / "nodes_set" / "nodes.csv",
+                                      index=False, header=False)
+    rng = np.random.RandomState(0)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randint(0, 30, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = pd.DataFrame({"from_id": [names[a] for a, _ in edges],
+                       "to_id": [names[b] for _, b in edges],
+                       "weight": 1.0})
+    df.to_csv(base / "1.format" / "t0.csv", sep="\t", index=False)
+
+    def gen(rep, out):
+        g = DataGenerator(str(base), "1.format", out, "nodes_set/nodes.csv",
+                          train_ratio=0.5, val_ratio=0.2, test_ratio=0.3,
+                          seed=rep)
+        g.generate_edge_sample("t0.csv")
+        return pd.read_csv(base / out / "t0_test.csv", sep="\t")
+
+    a1 = gen(1, "lp_a1")
+    a2 = gen(2, "lp_a2")
+    a1_again = gen(1, "lp_a1b")
+    assert not a1.equals(a2), "different reps must differ"
+    assert a1.equals(a1_again), "same rep must reproduce"

@@ -9,9 +9,12 @@ sampling runs with ``jax.random`` inside jit:
 
   * ≤ ``neg_num`` positive partners per batch node — when the node has more
     co-occurrence partners than ``neg_num``, ``neg_num`` DISTINCT partners
-    are drawn by Gumbel top-k (exact without-replacement uniform sampling
-    with static shapes — the reference's ``random.sample`` semantics,
-    metrics.py:74);
+    are drawn by Robert Floyd's algorithm (exact uniform without-replacement
+    subset sampling — the reference's ``random.sample`` semantics,
+    metrics.py:74 — as an unrolled scan of ``neg_num`` draw/dedup steps).
+    A Gumbel top-k over the [B, MAXNEI] table is equivalent but lowers to
+    a full XLA ``sort`` inside the composed train step (measured 6.8 ms/step
+    at UCI scale vs ~0 for Floyd);
   * ``neg_num`` shared negatives per (timestamp, batch) drawn from the
     unigram^0.75 table via ``jax.random.categorical`` — this replaces the
     reference's replicated-node-list + ``random.sample``;
@@ -56,31 +59,44 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
       walk: WalkData for the same window.
       key: PRNG key.
     """
-    T = embs.shape[0]
+    T, N = embs.shape[0], embs.shape[1]
+    B = batch_idx.shape[0]
     keys = jax.random.split(key, T)
 
     def per_timestamp(t_key, emb, neighbors, degrees, neg_logits):
         kpos, kneg = jax.random.split(t_key)
         deg = degrees[batch_idx]                      # [B]
-        B = batch_idx.shape[0]
         S = neg_num
         slot = jnp.arange(S)[None, :]                 # [1, S]
         n_valid = jnp.minimum(deg, S)[:, None]        # [B, 1]
         slot_valid = (slot < n_valid) & batch_mask[:, None]
         # partner slot selection: all partners when deg <= S, else S
-        # DISTINCT partners via Gumbel top-k — exact without-replacement
-        # uniform sampling with static shapes, matching the reference's
-        # random.sample semantics (metrics.py:74)
+        # DISTINCT partners via Robert Floyd's algorithm — an unrolled
+        # scan of S draw/dedup steps (exact uniform S-subsets, matching
+        # the reference's random.sample semantics, metrics.py:74).  An
+        # unfilled slot holds -1, which no randint draw equals, so the
+        # dedup check needs no step mask.
         maxnei = neighbors.shape[1]
-        gumbel = jax.random.gumbel(kpos, (B, maxnei))
-        nbr_valid = jnp.arange(maxnei)[None, :] < deg[:, None]
-        _, topk_j = jax.lax.top_k(jnp.where(nbr_valid, gumbel, -jnp.inf),
-                                  min(S, maxnei))
-        if topk_j.shape[1] < S:   # table narrower than neg_num: the extra
-            topk_j = jnp.pad(     # slots are dead (slot_valid masks them)
-                topk_j, ((0, 0), (0, S - topk_j.shape[1])))
-        j = jnp.where(deg[:, None] <= S, slot, topk_j)
-        pos_idx = jnp.take_along_axis(neighbors[batch_idx], j, axis=1)  # [B, S]
+        step_keys = jax.random.split(kpos, S)
+
+        def floyd_step(chosen, inp):
+            s, kk = inp
+            hi = jnp.maximum(deg - S + s, 0)          # [B]
+            r = jax.random.randint(kk, (B,), 0, hi + 1)
+            dup = jnp.any(chosen == r[None, :], axis=0)
+            pick = jnp.where(dup, hi, r)
+            return jax.lax.dynamic_update_index_in_dim(chosen, pick, s, 0), None
+
+        chosen0 = jnp.full((S, B), -1, jnp.int32)
+        chosen, _ = jax.lax.scan(floyd_step, chosen0,
+                                 (jnp.arange(S), step_keys), unroll=S)
+        j = jnp.where(deg[:, None] <= S, slot, chosen.T)
+        # flat scalar gather: materializing neighbors[batch_idx] would be a
+        # [B, MAXNEI] row gather (~2 ms at UCI scale) for S picks per row.
+        # Out-of-range j on slot-path rows (deg < S) clamps; slot_valid
+        # masks those scores out of the loss.
+        pos_idx = jnp.take(neighbors.reshape(-1),
+                           batch_idx[:, None] * maxnei + j)            # [B, S]
 
         e_node = emb[batch_idx]                       # [B, d]
         e_pos = emb[pos_idx]                          # [B, S, d]

@@ -137,3 +137,45 @@ def test_neg_sampling_loss_narrow_neighbor_table(rng):
         e, jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool), walk,
         jax.random.key(0), neg_num=S))(embs)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_neg_sampling_positive_sampler_uniform_subsets():
+    """The Floyd positive sampler must draw exact uniform without-replacement
+    subsets when deg > neg_num (reference random.sample, metrics.py:74).
+    Checked by chi-square over all C(6,2)=15 subsets of one node's table."""
+    from itertools import combinations
+
+    from ctgcn_tpu.losses import WalkData, negative_sampling_loss
+
+    T, N, d, maxnei, S, deg = 1, 7, 3, 6, 2, 6
+    neighbors = np.zeros((T, N, maxnei), np.int32)
+    neighbors[0, 0] = np.arange(1, maxnei + 1)  # node 0: partners 1..6
+    degrees = np.zeros((T, N), np.int32)
+    degrees[0, 0] = deg
+    walk = WalkData(neighbors=jnp.asarray(neighbors),
+                    degrees=jnp.asarray(degrees),
+                    neg_logits=jnp.zeros((T, N), np.float32))
+    # one-hot embeddings make pos_score reveal the sampled partner ids:
+    # emb rows are e_i, so score(0, j) has a unique signature per partner
+    embs = jnp.asarray(np.eye(N, d, dtype=np.float32))[None]
+
+    # recover sampled subsets via the loss gradient's sparsity pattern:
+    # grad wrt emb rows is nonzero exactly for node 0 + its sampled partners
+    # (neg sampling is silenced by pointing neg_logits at an isolated node)
+    batch_idx = jnp.zeros((1,), jnp.int32)
+    batch_mask = jnp.ones((1,), bool)
+
+    grad_fn = jax.jit(jax.grad(lambda e, k: negative_sampling_loss(
+        e, batch_idx, batch_mask, walk, k, neg_num=S, Q=0.0)))
+    counts = {c: 0 for c in combinations(range(1, maxnei + 1), S)}
+    n_trials = 1500
+    for i in range(n_trials):
+        g = np.asarray(grad_fn(embs, jax.random.key(i)))[0]
+        touched = tuple(sorted(int(r) for r in np.nonzero(
+            np.abs(g).sum(axis=1))[0] if r != 0))
+        assert len(touched) == S  # distinct partners
+        counts[touched] += 1
+    # chi-square against uniform over 15 subsets: dof=14, p=0.001 cutoff 36.1
+    expected = n_trials / len(counts)
+    chi2 = sum((c - expected) ** 2 / expected for c in counts.values())
+    assert chi2 < 36.1, (chi2, counts)

@@ -120,7 +120,16 @@ class CoreDiffusion:
                 indices_are_sorted=True).reshape(K, n, -1)
 
         contribs = contribs * pyramid.valid[:, None, None]
-        acc = jnp.cumsum(contribs, axis=0)
+        # prefix accumulation over the K core slots as a lower-triangular
+        # [K, K] matmul rather than jnp.cumsum: the cumsum forces XLA into
+        # a different [T, K, N, d] layout than the SpMM/GRU dots around it,
+        # costing ~5 ms/step of pure relayout copies at UCI scale (profiled
+        # v5e); the matmul form stays in the dot pipeline's layout.  K <= 16
+        # so the extra K^2 N d FLOPs are noise at any graph scale.
+        lower = jnp.tril(jnp.ones((K, K), jnp.float32))
+        acc = jax.lax.dot_general(
+            lower, contribs, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
         hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
         # hx: [K, N, in]; RNN over the core axis with packed-seq masking
         outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)

@@ -55,40 +55,51 @@ def main():
         os.path.join(base, "CTGCN", "ctgcn_node_freq"), 0, T)
     N = len(nodes)
 
-    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=500,
-                       output_dim=128, trans_num=1, diffusion_num=2,
-                       duration=T)
+    model0 = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=500,
+                        output_dim=128, trans_num=1, diffusion_num=2,
+                        duration=T)
     optimizer = make_optimizer(1e-3, weight_decay=5e-4)
-    opt_state = optimizer.init(model)
     batch_idx = jnp.arange(N, dtype=jnp.int32)
     batch_mask = jnp.ones((N,), bool)
 
-    # data threads through jit as ARGUMENTS — closing over the banks would
-    # embed them as HLO constants and explode local compile time
-    def loss_fn(model, pyr, walk, key):
+    # EVERYTHING threads through jit as ARGUMENTS — closing over the banks
+    # would embed them as HLO constants and explode local compile time, and
+    # a closed-over *device* array (even a tiny one) flips the axon relay
+    # into a degraded per-call dispatch mode for the rest of the process
+    # (measured: 0.03 ms -> 8.4 ms for the same loaded executable)
+    def loss_fn(model, pyr, walk, key, bidx, bmask):
         embs = model(None, pyr)
-        return negative_sampling_loss(embs, batch_idx, batch_mask, walk, key,
+        return negative_sampling_loss(embs, bidx, bmask, walk, key,
                                       neg_num=20, Q=20.0)
 
     @jax.jit
-    def train_step(model, opt_state, pyr, walk, key):
-        loss, grads = jax.value_and_grad(loss_fn)(model, pyr, walk, key)
+    def train_step(model, opt_state, pyr, walk, key, bidx, bmask):
+        loss, grads = jax.value_and_grad(loss_fn)(model, pyr, walk, key,
+                                                  bidx, bmask)
         updates, opt_state = optimizer.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, opt_state, loss
 
-    key = jax.random.key(1)
-    # warmup / compile
-    model, opt_state, loss = train_step(model, opt_state, pyr, walk, key)
-    jax.block_until_ready(loss)
+    def measure(pyr, iters=20):
+        model, opt_state = model0, optimizer.init(model0)
+        key = jax.random.key(1)
+        model, opt_state, loss = train_step(model, opt_state, pyr, walk, key,
+                                            batch_idx, batch_mask)
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            model, opt_state, loss = train_step(model, opt_state, pyr, walk,
+                                                k, batch_idx, batch_mask)
+        jax.block_until_ready(loss)
+        return (time.time() - t0) / iters
 
-    iters = 20
-    t0 = time.time()
-    for i in range(iters):
-        key, k = jax.random.split(key)
-        model, opt_state, loss = train_step(model, opt_state, pyr, walk, k)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / iters
+    dt = measure(pyr)
+    # production-precision secondary line: bf16 pyramid bank (committed AUC
+    # shows quality parity — RESULTS.md "CTGCN-C-bf16")
+    pyr_bf16 = loader.get_core_adj_list(core_path, 0, T, max_core=-1,
+                                        dense_dtype=jnp.bfloat16)
+    dt_bf16 = measure(pyr_bf16)
 
     # edges traversed per step: valid-slot nnz × diffusion layers × 3
     # (forward SpMM + backward dX SpMM^T + backward accumulation pass)
@@ -120,9 +131,10 @@ def main():
         # The identity-feature MLP contributes NO matmul: x=None short-
         # circuits the first Linear to a weight slice (core_models.py:37-44)
         # and its weight grad is the output grad directly.
-        hid = 500
+        # CDN layer input dims: hidden->output then output->output
+        # (CDN.init dims list, core_models.py) — NOT hidden twice
         K = int(pyr.valid.shape[1])
-        spmm_in_dims = [hid] * diffusion_num
+        spmm_in_dims = [500, 128]
         flops = T * K * 2 * (N ** 2) * sum(spmm_in_dims) * 2
         mxu_frac = flops / dt / peak
 
@@ -149,6 +161,7 @@ def main():
         # codebase run on CPU); the chip-level truth is the fields below
         "vs_baseline": round(vs_baseline, 3),
         "step_ms": round(dt * 1e3, 3),
+        "step_ms_bf16_bank": round(dt_bf16 * 1e3, 3),
         "core_backend": backend,
         "device_kind": device_kind,
         "mxu_frac_f32": round(mxu_frac, 4) if mxu_frac is not None else None,

@@ -105,9 +105,15 @@ def main():
                    if m == "CTGCN-C_e10" or m.startswith("CTGCN-C_e10_s")]
             ref10 = [mean["Had"] for m, mean, _, _, _ in rows
                      if m == "CTGCN-C_ref" or m.startswith("CTGCN-C_ref_r")]
+            welch = ""
+            if len(e10) > 2 and len(ref10) > 2:
+                from scipy import stats
+                _, p = stats.ttest_ind(e10, ref10, equal_var=False)
+                welch = f" Welch p = {p:.2f} (no significant difference)." \
+                    if p > 0.05 else f" Welch p = {p:.3f}."
             out.append(
                 f"- 10 epochs (early-stop regime): {fmt(e10)} ours vs "
-                f"{fmt(ref10)} reference.")
+                f"{fmt(ref10)} reference.{welch}")
         if "CTGCN-C-bf16" in flag:
             out.append(
                 f"- bf16 pyramid bank (`matmul_precision: \"bf16\"`): "

@@ -19,6 +19,8 @@ TPU-first re-design of reference layers.py:9-63 and models.py:8-42,129-253:
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -32,6 +34,28 @@ def _make_rnn(key, rnn_type, input_dim, hidden_dim, bias=True):
     assert rnn_type in ("GRU", "LSTM")
     cls = GRUCell if rnn_type == "GRU" else LSTMCell
     return cls.init(key, input_dim, hidden_dim, bias=bias)
+
+
+#: activation budget steering the multi-snapshot execution strategy.  Below
+#: it, all T snapshots run batched under vmap (best MXU utilization); above
+#: it, snapshots serialize through lax.map with jax.checkpoint so the
+#: backward rematerializes one snapshot's core-diffusion internals at a time
+#: (the reference answers this regime with "use a bigger GPU", README.md:178
+#: — a Facebook-scale window at the reference's own config needs ~27 GB of
+#: activations vs the 16 GB v5e HBM).
+_ACT_BUDGET_BYTES = int(os.environ.get("CTGCN_TPU_ACT_BUDGET", 4 << 30))
+
+
+def _window_act_bytes(cdn, pyramids):
+    """Rough forward-activation footprint of the batched [T] window: the
+    [K, N, d_in] contribs/prefix/relu plus [K, N, 3H+H] GRU tensors per
+    CoreDiffusion layer dominate everything else."""
+    T = pyramids.valid.shape[0]
+    K = pyramids.valid.shape[1]
+    n = pyramids.n_nodes
+    per_node = sum(3 * layer.rnn.w_ih.shape[-1] + 4 * layer.rnn.w_hh.shape[-1]
+                   for layer in cdn.layers)  # shape[-1] also works on
+    return 4 * T * K * n * per_node          # [T]-stacked CTGCN leaves
 
 
 def _mlp_maybe_identity(mlp: MLP, x):
@@ -214,13 +238,22 @@ class CGCN:
 
         The Pallas-plan path runs the snapshots through ``lax.map`` (a
         hand-DMA'd pallas_call has no vmap batching rule; one big kernel per
-        snapshot serializes cleanly)."""
+        snapshot serializes cleanly).  Windows whose activation footprint
+        exceeds ``_ACT_BUDGET_BYTES`` also serialize, with ``jax.checkpoint``
+        so the backward holds one snapshot's internals at a time."""
         use_map = pyramids.plan_fwd is not None
+        remat = _window_act_bytes(self.cdn, pyramids) > _ACT_BUDGET_BYTES
+        use_map |= remat
         if xs is None:
             fn = lambda pyr: self.single(None, pyr)
+            if remat:
+                fn = jax.checkpoint(fn)
             res = jax.lax.map(fn, pyramids) if use_map else jax.vmap(fn)(pyramids)
         elif use_map:
-            res = jax.lax.map(lambda a: self.single(*a), (xs, pyramids))
+            fn = lambda x, pyr: self.single(x, pyr)
+            if remat:
+                fn = jax.checkpoint(fn)
+            res = jax.lax.map(lambda a: fn(*a), (xs, pyramids))
         else:
             res = jax.vmap(self.single)(xs, pyramids)
         return res  # [T, N, out] or (embs, trans) for 'S'
@@ -276,6 +309,10 @@ class CTGCN:
             return emb, trans
 
         use_map = pyramids.plan_fwd is not None
+        remat = _window_act_bytes(self.cdns, pyramids) > _ACT_BUDGET_BYTES
+        use_map |= remat
+        if remat:
+            per_t = jax.checkpoint(per_t)
         if xs is None:
             fn = lambda mlp, cdn, pyr: per_t(mlp, cdn, None, pyr)
             if use_map:

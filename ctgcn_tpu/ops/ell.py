@@ -34,6 +34,7 @@ is a constant, so no dA path is needed.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -130,13 +131,41 @@ def build_ell_plans(mat, min_width=8):
             build_ell_plan(mat.T.tocsr(), min_width))
 
 
+#: live-element budget for one bucket's gathered [nb, K, d] expansion.  XLA
+#: materializes the gather product before the row-sum, so an unchunked wide
+#: layer blows HBM at reference-benchmark scale (Facebook window, d=500:
+#: 18.9M padded edges x 500 floats = 36 GB on a 16 GB v5e).  256M elements
+#: = 1 GB f32 live per chunk.
+_ELL_CHUNK_ELEMS = int(os.environ.get("CTGCN_TPU_ELL_CHUNK_ELEMS", 256 << 20))
+
+
+def _bucket_apply(cols, vals, xs):
+    nb, K = cols.shape
+    d = xs.shape[1]
+    if nb * K * d <= _ELL_CHUNK_ELEMS:
+        g = xs[cols] * vals[:, :, None]              # [nb, K, d]
+        return jnp.sum(g.astype(jnp.float32), axis=1)
+    chunk = max(8, (_ELL_CHUNK_ELEMS // (K * d)) // 8 * 8)
+    nchunks = -(-nb // chunk)
+    pad = nchunks * chunk - nb                       # pad rows gather col 0
+    cols_p = jnp.pad(cols, ((0, pad), (0, 0)))       # with val 0 → zero out
+    vals_p = jnp.pad(vals, ((0, pad), (0, 0)))
+
+    def one(args):
+        c, v = args
+        g = xs[c] * v[:, :, None]
+        return jnp.sum(g.astype(jnp.float32), axis=1)
+
+    out = jax.lax.map(one, (cols_p.reshape(nchunks, chunk, K),
+                            vals_p.reshape(nchunks, chunk, K)))
+    return out.reshape(nchunks * chunk, d)[:nb]
+
+
 def _ell_apply(plan: EllPlan, x, bf16):
     xs = x.astype(jnp.bfloat16) if bf16 else x
     outs = []
     for b in plan.buckets:
-        vals = b.vals.astype(xs.dtype)
-        g = xs[b.cols] * vals[:, :, None]            # [nb, K, d]
-        outs.append(jnp.sum(g.astype(jnp.float32), axis=1))
+        outs.append(_bucket_apply(b.cols, b.vals.astype(xs.dtype), xs))
     cat = jnp.concatenate(outs, axis=0)              # degree-sorted rows
     return jnp.take(cat, plan.inv_perm, axis=0)
 

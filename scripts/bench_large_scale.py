@@ -10,6 +10,7 @@ data/bench_large_scale.json.  Run: timeout 560 python
 scripts/bench_large_scale.py [--quick]
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -82,6 +83,7 @@ def main():
 
     results = {}
     for tag, pyr in (("ell", attach_ell_plans(stacked)),
+                     ("ell_bf16", attach_ell_plans(stacked, bf16=True)),
                      ("segment", stacked)):
         opt_state = optimizer.init(model)
 
@@ -89,15 +91,28 @@ def main():
             embs = m(None, pyr)
             return jnp.mean((embs - target) ** 2)
 
-        @jax.jit
+        # donate model + opt state: at this scale the per-t CTGCN params
+        # (mlps [T, N, hid]) plus Adam moments are ~GBs; without donation
+        # the old and new pytrees coexist and T=5 blows HBM at arg alloc
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(m, opt_state, pyr):
             loss, grads = jax.value_and_grad(loss_fn)(m, pyr)
             updates, opt_state = optimizer.update(grads, opt_state, m)
             return optax.apply_updates(m, updates), opt_state, loss
 
         t0 = time.time()
-        m2, opt_state, loss = step(model, opt_state, pyr)
-        jax.block_until_ready(loss)
+        # fresh param copy per backend: step donates its inputs
+        m2 = jax.tree.map(jnp.array, model)
+        try:
+            m2, opt_state, loss = step(m2, opt_state, pyr)
+            jax.block_until_ready(loss)
+        except Exception as e:  # HBM OOM: record honestly, keep going
+            lines = str(e).splitlines()
+            msg = next((ln.strip()[:200] for ln in lines
+                        if "memory" in ln.lower()), lines[0][:200])
+            results[tag] = {"failed": msg}
+            print(f"{tag:8s}: FAILED ({msg[:80]}...)")
+            continue
         compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(iters):

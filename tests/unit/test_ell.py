@@ -217,3 +217,20 @@ def test_gat_forward_matches_with_ell_ev(rng):
     for a, b in zip(jax.tree.leaves(g_ell_g), jax.tree.leaves(g_seg)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_ell_chunked_apply_matches_unchunked(monkeypatch):
+    """The HBM-budget row chunking must be numerically identical to the
+    one-shot bucket apply (pad rows gather column 0 with value 0)."""
+    import ctgcn_tpu.ops.ell as ell_mod
+
+    rng = np.random.default_rng(3)
+    R, C, d = 100, 80, 16
+    dens = sp.random(R, C, density=0.12, random_state=5, format="csr",
+                     dtype=np.float64)
+    x = jnp.asarray(rng.standard_normal((C, d)).astype(np.float32))
+    fwd, t = ell_mod.build_ell_plans(dens)
+    base = np.asarray(ell_mod.ell_spmm(fwd, t, x))
+    monkeypatch.setattr(ell_mod, "_ELL_CHUNK_ELEMS", 257)  # force chunking
+    chunked = np.asarray(ell_mod.ell_spmm(fwd, t, x))
+    np.testing.assert_allclose(base, chunked, rtol=1e-6, atol=1e-6)

@@ -307,3 +307,29 @@ def test_loader_dense_dtype_plumbs_to_bank(tmp_path, rng):
     pyr = loader.get_core_adj_list(str(tmp_path / "cores"), 0, 1,
                                    dense_dtype=jnp.bfloat16)
     assert pyr.dense is not None and pyr.dense.dtype == jnp.bfloat16
+
+
+def test_remat_map_path_matches_vmap(pyramids, monkeypatch):
+    """The budget-triggered lax.map + jax.checkpoint execution of the
+    multi-snapshot forward must match the batched vmap path exactly
+    (same math, different schedule)."""
+    import ctgcn_tpu.nn.core_models as CM
+
+    pyr = pyramids
+    model = CM.CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=16,
+                          output_dim=8, trans_num=1, diffusion_num=2,
+                          duration=T)
+
+    def loss(m, p):
+        return jnp.sum(m(None, p) ** 2)
+
+    base = jax.jit(lambda m, p: m(None, p))(model, pyr)
+    gbase = jax.jit(jax.grad(loss))(model, pyr)
+    monkeypatch.setattr(CM, "_ACT_BUDGET_BYTES", 1)  # force map + remat
+    rem = jax.jit(lambda m, p: m(None, p))(model, pyr)
+    grem = jax.jit(jax.grad(loss))(model, pyr)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(rem),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gbase), jax.tree.leaves(grem)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

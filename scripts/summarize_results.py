@@ -95,25 +95,28 @@ def main():
         fmt = lambda v: (f"**{np.mean(v):.4f}** mean of {len(v)} seeds "
                          f"[{min(v):.4f}–{max(v):.4f}]" if len(v) > 1
                          else f"**{v[0]:.4f}** (1 seed)")
+
+        def _welch(a, b):
+            if len(a) < 3 or len(b) < 3:
+                return ""
+            from scipy import stats
+            _, p = stats.ttest_ind(a, b, equal_var=False)
+            return (f" Welch p = {p:.2f} (no significant difference)."
+                    if p > 0.05 else f" Welch p = {p:.3f}.")
+
         out.append(
             f"\nFlagship CTGCN-C Had AUC, matched-epoch pairs (same splits "
             f"and eval, 3 independent edge-split reps each):\n"
             f"- 50 epochs (config): {fmt(ours50)} ours vs {fmt(ref50)} "
-            f"reference.")
+            f"reference.{_welch(ours50, ref50)}")
         if "CTGCN-C_e10" in flag and "CTGCN-C_ref" in flag:
             e10 = [mean["Had"] for m, mean, _, _, _ in rows
                    if m == "CTGCN-C_e10" or m.startswith("CTGCN-C_e10_s")]
             ref10 = [mean["Had"] for m, mean, _, _, _ in rows
                      if m == "CTGCN-C_ref" or m.startswith("CTGCN-C_ref_r")]
-            welch = ""
-            if len(e10) > 2 and len(ref10) > 2:
-                from scipy import stats
-                _, p = stats.ttest_ind(e10, ref10, equal_var=False)
-                welch = f" Welch p = {p:.2f} (no significant difference)." \
-                    if p > 0.05 else f" Welch p = {p:.3f}."
             out.append(
                 f"- 10 epochs (early-stop regime): {fmt(e10)} ours vs "
-                f"{fmt(ref10)} reference.{welch}")
+                f"{fmt(ref10)} reference.{_welch(e10, ref10)}")
         if "CTGCN-C-bf16" in flag:
             out.append(
                 f"- bf16 pyramid bank (`matmul_precision: \"bf16\"`): "

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import struct
 
@@ -44,6 +45,21 @@ def _make_rnn(key, rnn_type, input_dim, hidden_dim, bias=True):
 #: — a Facebook-scale window at the reference's own config needs ~27 GB of
 #: activations vs the 16 GB v5e HBM).
 _ACT_BUDGET_BYTES = int(os.environ.get("CTGCN_TPU_ACT_BUDGET", 4 << 30))
+
+#: remat policy for the over-budget path: "full" (default) recomputes
+#: everything in backward — the only footprint that fits a Facebook-scale
+#: window on a 16 GB v5e.  "save_spmm" keeps each snapshot's SpMM outputs
+#: resident and recomputes only the cheap prefix/ReLU/GRU internals —
+#: faster where HBM allows (e.g. v5p/v6e or smaller windows).
+_REMAT_POLICY = os.environ.get("CTGCN_TPU_REMAT_POLICY", "full")
+
+
+def _remat(fn):
+    if _REMAT_POLICY == "save_spmm":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                "spmm_out"))
+    return jax.checkpoint(fn)
 
 
 def _window_act_bytes(cdn, pyramids):
@@ -143,6 +159,10 @@ class CoreDiffusion:
                 gathered, flat_rows, num_segments=K * n,
                 indices_are_sorted=True).reshape(K, n, -1)
 
+        # named so the budget-remat path can keep SpMM outputs while
+        # rematerializing the cheap prefix/ReLU/GRU internals — recomputing
+        # the gathers in backward cost ~2x at Facebook scale
+        contribs = jax.ad_checkpoint.checkpoint_name(contribs, "spmm_out")
         contribs = contribs * pyramid.valid[:, None, None]
         # prefix accumulation over the K core slots as a lower-triangular
         # [K, K] matmul rather than jnp.cumsum: the cumsum forces XLA into
@@ -247,12 +267,12 @@ class CGCN:
         if xs is None:
             fn = lambda pyr: self.single(None, pyr)
             if remat:
-                fn = jax.checkpoint(fn)
+                fn = _remat(fn)
             res = jax.lax.map(fn, pyramids) if use_map else jax.vmap(fn)(pyramids)
         elif use_map:
             fn = lambda x, pyr: self.single(x, pyr)
             if remat:
-                fn = jax.checkpoint(fn)
+                fn = _remat(fn)
             res = jax.lax.map(lambda a: fn(*a), (xs, pyramids))
         else:
             res = jax.vmap(self.single)(xs, pyramids)
@@ -312,7 +332,7 @@ class CTGCN:
         remat = _window_act_bytes(self.cdns, pyramids) > _ACT_BUDGET_BYTES
         use_map |= remat
         if remat:
-            per_t = jax.checkpoint(per_t)
+            per_t = _remat(per_t)
         if xs is None:
             fn = lambda mlp, cdn, pyr: per_t(mlp, cdn, None, pyr)
             if use_map:

@@ -11,6 +11,7 @@ scripts/bench_large_scale.py [--quick]
 """
 import argparse
 import functools
+import re
 import json
 import os
 import sys
@@ -107,9 +108,11 @@ def main():
             m2, opt_state, loss = step(m2, opt_state, pyr)
             jax.block_until_ready(loss)
         except Exception as e:  # HBM OOM: record honestly, keep going
-            lines = str(e).splitlines()
+            text = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
+            lines = text.splitlines()
             msg = next((ln.strip()[:200] for ln in lines
-                        if "memory" in ln.lower()), lines[0][:200])
+                        if "out of memory" in ln.lower()
+                        or "exceed memory" in ln.lower()), lines[0][:200])
             results[tag] = {"failed": msg}
             print(f"{tag:8s}: FAILED ({msg[:80]}...)")
             continue

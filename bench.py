@@ -100,6 +100,11 @@ def main():
     pyr_bf16 = loader.get_core_adj_list(core_path, 0, T, max_core=-1,
                                         dense_dtype=jnp.bfloat16)
     dt_bf16 = measure(pyr_bf16)
+    # near-exact middle ground: f32 bank, 3-pass bf16_3x dots
+    # (config ``matmul_precision: "high"``; data/bench_precision.json)
+    pyr_high = loader.get_core_adj_list(core_path, 0, T, max_core=-1,
+                                        dense_prec="high")
+    dt_high = measure(pyr_high)
 
     # edges traversed per step: valid-slot nnz × diffusion layers × 3
     # (forward SpMM + backward dX SpMM^T + backward accumulation pass)
@@ -162,6 +167,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "step_ms": round(dt * 1e3, 3),
         "step_ms_bf16_bank": round(dt_bf16 * 1e3, 3),
+        "step_ms_high_prec": round(dt_high * 1e3, 3),
         "core_backend": backend,
         "device_kind": device_kind,
         "mxu_frac_f32": round(mxu_frac, 4) if mxu_frac is not None else None,

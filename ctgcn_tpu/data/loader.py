@@ -114,7 +114,7 @@ class DataLoader:
     def get_core_adj_list(self, core_base_path, start_idx, duration,
                           max_core=-1, stacked=True,
                           dense_budget_bytes=4 << 30, core_backend="auto",
-                          dense_dtype=None):
+                          dense_dtype=None, dense_prec="highest"):
         """K-core pyramid bank (reference helper.py:51-82 semantics:
         truncate to max_core, reverse so max core first, +I on the first,
         delta-skip as validity masks).
@@ -167,7 +167,8 @@ class DataLoader:
             build_core_pyramid(mats, self.node_num, num_slots=num_slots,
                                pad_to=cap, densify=densify,
                                dense_dtype=dense_dtype,
-                               build_plans=build_plans)
+                               build_plans=build_plans,
+                               dense_prec=dense_prec)
             for mats in per_snap_mats
         ]
         if not stacked:

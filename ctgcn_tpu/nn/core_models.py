@@ -123,12 +123,20 @@ class CoreDiffusion:
             # A bf16 bank (config ``matmul_precision: "bf16"``) runs
             # single-pass bf16 with f32 accumulation: ~same AUC, much
             # faster and half the HBM traffic on the bank.
+            # ``dense_prec: "high"`` (config ``matmul_precision: "high"``)
+            # keeps the f32 bank but runs 3-pass bf16_3x dots: ~1.75x the
+            # HIGHEST (6-pass) MXU rate at ~3.5e-6 mean rel err (v5e,
+            # data/bench_precision.json) — the near-exact middle ground.
             is_bf16 = pyramid.dense.dtype == jnp.bfloat16
+            prec = (None if is_bf16
+                    else jax.lax.Precision.HIGH
+                    if pyramid.dense_prec == "high"
+                    else jax.lax.Precision.HIGHEST)
             contribs = jax.lax.dot_general(
                 pyramid.dense, x.astype(pyramid.dense.dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=(None if is_bf16 else jax.lax.Precision.HIGHEST))
+                precision=prec)
             contribs = contribs.astype(jnp.float32)
         elif pyramid.ell_fwd is not None:
             # degree-bucketed ELL: gather + dense row-sum, no scatter — the

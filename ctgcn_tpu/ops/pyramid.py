@@ -55,6 +55,11 @@ class CorePyramid:
     # bf16 ELL gathers (matmul_precision config); static so it can steer
     # tracing.
     ell_bf16: bool = struct.field(pytree_node=False, default=False)
+    # Dense-bank MXU precision for an f32 bank: "highest" (bf16_6x — bit-
+    # level f32 parity, the default) or "high" (bf16_3x — ~1.75x faster
+    # with ~3.5e-6 mean rel err on the UCI bank; measured on v5e, see
+    # data/bench_precision.json).  Ignored for a bf16 bank (single pass).
+    dense_prec: str = struct.field(pytree_node=False, default="highest")
 
     @property
     def num_slots(self) -> int:
@@ -67,7 +72,8 @@ class CorePyramid:
 
 def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
                        add_eye_first=True, drop_empty_delta=True,
-                       densify=False, dense_dtype=None, build_plans=False):
+                       densify=False, dense_dtype=None, build_plans=False,
+                       dense_prec="highest"):
     """Build a CorePyramid from scipy matrices ordered max-core-first.
 
     Args:
@@ -140,7 +146,8 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
 
     return CorePyramid(rows=rows_j, cols=cols_j, vals=vals_j,
                        valid=jnp.asarray(valid), n_nodes=int(n_nodes),
-                       dense=dense, plan_fwd=plan_fwd, plan_t=plan_t)
+                       dense=dense, plan_fwd=plan_fwd, plan_t=plan_t,
+                       dense_prec=dense_prec)
 
 
 @functools.partial(jax.jit, static_argnums=(3,), static_argnames=("dtype",))

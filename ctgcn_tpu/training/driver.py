@@ -81,17 +81,21 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
                                           sep=file_sep)
     neighbor_data = None
     if method in get_core_based_methods():
-        # ``matmul_precision: "bf16"`` stores the dense pyramid bank in
-        # bfloat16 → single-pass MXU matmuls with f32 accumulation (the
-        # TPU fast path; ~same AUC, see BASELINE_MEASURED.json) instead of
-        # the parity-exact HIGHEST-precision f32 default
+        # ``matmul_precision`` steers the dense pyramid bank:
+        #   "highest" (default) — f32 bank, 6-pass bf16_6x dots: bit-level
+        #     reference parity;
+        #   "high" — f32 bank, 3-pass bf16_3x dots: ~1.75x the MXU rate at
+        #     ~3.5e-6 mean rel err (data/bench_precision.json);
+        #   "bf16" — bfloat16 bank, single-pass with f32 accumulation (the
+        #     TPU fast path; ~same AUC, see BASELINE_MEASURED.json).
         mm_prec = args.get("matmul_precision", "highest")
-        assert mm_prec in ("highest", "bf16"), mm_prec
+        assert mm_prec in ("highest", "high", "bf16"), mm_prec
         adjs = data_loader.get_core_adj_list(
             core_base_path, idx, time_length, max_core=args["max_core"],
             core_backend=args.get("core_backend", "auto"),
             dense_budget_bytes=args.get("dense_budget_bytes", 4 << 30),
-            dense_dtype=(jnp.bfloat16 if mm_prec == "bf16" else None))
+            dense_dtype=(jnp.bfloat16 if mm_prec == "bf16" else None),
+            dense_prec=("high" if mm_prec == "high" else "highest"))
     else:
         # GIN aggregates center+neighbors together (+I) when not learn_eps
         # (reference baseline/gin.py:120-133)

@@ -293,6 +293,33 @@ def test_core_diffusion_bf16_bank_close_to_f32(adjs, rng):
                                rtol=0.05, atol=0.05)
 
 
+def test_core_diffusion_high_prec_matches_highest(adjs, rng):
+    """matmul_precision=high: the bf16_3x dense path is a precision hint —
+    on CPU it is exact, so it must match the HIGHEST path bitwise; this
+    pins the dense_prec plumbing through pyramid -> CoreDiffusion."""
+    from ctgcn_tpu.nn.core_models import CoreDiffusion
+
+    def pyr(prec):
+        m = adjs[0].tocsr()
+        deg = np.asarray(m.sum(1)).flatten()
+        mats = []
+        for k in [2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                m.multiply(keep[:, None]).multiply(keep[None, :])))
+        return build_core_pyramid(mats, N, num_slots=3, pad_to=512,
+                                  densify=True, dense_prec=prec)
+
+    p_hi = pyr("highest")
+    p_3x = pyr("high")
+    assert p_3x.dense_prec == "high"
+    layer = CoreDiffusion.init(jax.random.key(0), 8, 6)
+    x = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(layer(x, p_3x)),
+                               np.asarray(layer(x, p_hi)),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_loader_dense_dtype_plumbs_to_bank(tmp_path, rng):
     """DataLoader.get_core_adj_list(dense_dtype=bf16) stores a bf16 bank."""
     import os

@@ -95,16 +95,21 @@ def main():
         return (time.time() - t0) / iters
 
     dt = measure(pyr)
-    # production-precision secondary line: bf16 pyramid bank (committed AUC
+    # production-precision secondary line: bf16 blocks/bank (committed AUC
     # shows quality parity — RESULTS.md "CTGCN-C-bf16")
     pyr_bf16 = loader.get_core_adj_list(core_path, 0, T, max_core=-1,
                                         dense_dtype=jnp.bfloat16)
     dt_bf16 = measure(pyr_bf16)
-    # near-exact middle ground: f32 bank, 3-pass bf16_3x dots
+    # near-exact middle ground: f32, 3-pass bf16_3x dots
     # (config ``matmul_precision: "high"``; data/bench_precision.json)
     pyr_high = loader.get_core_adj_list(core_path, 0, T, max_core=-1,
                                         dense_prec="high")
     dt_high = measure(pyr_high)
+    # round-1 comparable line: the full [K, N, N] dense bank the auto
+    # policy used before the core-sorted block backend landed
+    pyr_dense = loader.get_core_adj_list(core_path, 0, T, max_core=-1,
+                                         core_backend="dense")
+    dt_dense = measure(pyr_dense)
 
     # edges traversed per step: valid-slot nnz × diffusion layers × 3
     # (forward SpMM + backward dX SpMM^T + backward accumulation pass)
@@ -116,7 +121,8 @@ def main():
 
     # ---- honest accounting (VERDICT r1 weak #2/#1) --------------------
     # which CoreDiffusion backend actually ran this step
-    backend = ("dense" if pyr.dense is not None
+    backend = ("blocks" if pyr.blocks is not None
+               else "dense" if pyr.dense is not None
                else "ell" if pyr.ell_fwd is not None
                else "pallas_bsr" if pyr.plan_fwd is not None
                else "segment")
@@ -128,7 +134,17 @@ def main():
     peak = next((v for k, v in peaks_f32.items()
                  if k.lower() in device_kind.lower()), 49.0e12)
     mxu_frac = None
-    if backend == "dense":
+    if backend == "blocks":
+        # MXU FLOPs on the core-sorted principal-block path: per snapshot
+        # and layer, sum over slot blocks of 2*nb^2*d_l, x2 for the dX
+        # backward.  Orders of magnitude below the dense bank's K*N^2 —
+        # the step is recurrence/elementwise-bound here, so mxu_frac is
+        # honest but small by design.
+        spmm_in_dims = [500, 128]
+        flops = sum(2 * b.shape[0] ** 2 * sum(spmm_in_dims) * 2
+                    for snap in pyr.blocks for b in snap)
+        mxu_frac = flops / dt / peak
+    elif backend == "dense":
         # MXU FLOPs this step actually executes (dominant terms only —
         # temporal/core RNNs and the loss matmuls are excluded, so this
         # under-reports true utilization slightly):
@@ -168,6 +184,7 @@ def main():
         "step_ms": round(dt * 1e3, 3),
         "step_ms_bf16_bank": round(dt_bf16 * 1e3, 3),
         "step_ms_high_prec": round(dt_high * 1e3, 3),
+        "step_ms_dense_bank": round(dt_dense * 1e3, 3),
         "core_backend": backend,
         "device_kind": device_kind,
         "mxu_frac_f32": round(mxu_frac, 4) if mxu_frac is not None else None,

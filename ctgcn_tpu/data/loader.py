@@ -114,7 +114,8 @@ class DataLoader:
     def get_core_adj_list(self, core_base_path, start_idx, duration,
                           max_core=-1, stacked=True,
                           dense_budget_bytes=4 << 30, core_backend="auto",
-                          dense_dtype=None, dense_prec="highest"):
+                          dense_dtype=None, dense_prec="highest",
+                          allow_blocks=True):
         """K-core pyramid bank (reference helper.py:51-82 semantics:
         truncate to max_core, reverse so max core first, +I on the first,
         delta-skip as validity masks).
@@ -152,25 +153,48 @@ class DataLoader:
         dense_bytes = (len(per_snap_mats) * num_slots
                        * self.node_num * self.node_num * itemsize)
         build_ell = False
+        build_blocks = False
         if core_backend == "auto":
             densify = (dense_budget_bytes is not None
                        and dense_bytes <= dense_budget_bytes)
+            # core-sorted principal blocks beat the full dense bank
+            # wherever the bank fits at all (Sum(n_k^2) << K*N^2 MACs,
+            # same numerics — see CorePyramid.blocks); dense remains the
+            # fallback if the support-nesting check fails (cannot for
+            # true k-core pyramids).  ``allow_blocks=False`` (the
+            # time-sharded mesh path — ragged block shapes can't shard
+            # over the [T] axis) keeps the old dense-bank auto choice.
+            build_blocks = densify and allow_blocks
+            densify = densify and not build_blocks
             build_plans = False
-            build_ell = not densify
+            build_ell = not (build_blocks or densify)
         else:
-            assert core_backend in ("dense", "ell", "pallas",
+            assert core_backend in ("dense", "blocks", "ell", "pallas",
                                     "segment"), core_backend
             densify = core_backend == "dense"
             build_plans = core_backend == "pallas"
             build_ell = core_backend == "ell"
+            build_blocks = core_backend == "blocks"
         pyramids = [
             build_core_pyramid(mats, self.node_num, num_slots=num_slots,
                                pad_to=cap, densify=densify,
                                dense_dtype=dense_dtype,
                                build_plans=build_plans,
-                               dense_prec=dense_prec)
+                               dense_prec=dense_prec,
+                               build_blocks=build_blocks)
             for mats in per_snap_mats
         ]
+        if build_blocks and any(p.blocks is None for p in pyramids):
+            # defensive fallback: nesting check failed somewhere — rebuild
+            # the affected snapshots as full dense banks is not possible
+            # per-snapshot (mixed backends don't stack), so rebuild all
+            pyramids = [
+                build_core_pyramid(mats, self.node_num, num_slots=num_slots,
+                                   pad_to=cap, densify=True,
+                                   dense_dtype=dense_dtype,
+                                   dense_prec=dense_prec)
+                for mats in per_snap_mats
+            ]
         if not stacked:
             return pyramids
         out = stack_pyramids(pyramids)

@@ -116,7 +116,31 @@ class CoreDiffusion:
         n = pyramid.n_nodes
         K = pyramid.num_slots
 
-        if pyramid.dense is not None:
+        if pyramid.blocks is not None:
+            # core-sorted principal blocks: Sum(n_k^2) MACs instead of
+            # K*N^2 (48x less on UCI — ops/pyramid._build_core_blocks).
+            # All node-wise stages downstream (prefix sum, ReLU, core-axis
+            # RNN, LayerNorm) are permutation-equivariant, so the whole
+            # layer runs in core-sorted order and un-permutes once at the
+            # end.
+            is_bf16 = pyramid.blocks[0].dtype == jnp.bfloat16
+            prec = (None if is_bf16
+                    else jax.lax.Precision.HIGH
+                    if pyramid.dense_prec == "high"
+                    else jax.lax.Precision.HIGHEST)
+            xp = jnp.take(x, pyramid.perm, axis=0)
+            xb = xp.astype(pyramid.blocks[0].dtype)
+            contribs = jnp.zeros((K, n, x.shape[1]), jnp.float32)
+            for k, blk in enumerate(pyramid.blocks):
+                nb = blk.shape[0]
+                r = jax.lax.dot_general(
+                    blk, xb[:nb], dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                contribs = contribs.at[k, :nb].set(r.astype(jnp.float32))
+            # the +I the reference adds on the max-core slot only
+            # (helper.py:71-73) — as "+ x", never materializing I
+            contribs = contribs.at[0].add(xp)
+        elif pyramid.dense is not None:
             # one batched MXU matmul: [K, N, N] @ [N, d].  An f32 bank runs
             # HIGHEST precision — full-f32 numerics (default bf16 passes
             # drift ~0.3% on high-degree rows, breaking reference parity).
@@ -185,7 +209,10 @@ class CoreDiffusion:
         hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
         # hx: [K, N, in]; RNN over the core axis with packed-seq masking
         outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)
-        return self.norm(outs.sum(axis=0))
+        out = self.norm(outs.sum(axis=0))
+        if pyramid.blocks is not None:
+            out = jnp.take(out, pyramid.inv_perm, axis=0)
+        return out
 
 
 @struct.dataclass
@@ -269,6 +296,14 @@ class CGCN:
         snapshot serializes cleanly).  Windows whose activation footprint
         exceeds ``_ACT_BUDGET_BYTES`` also serialize, with ``jax.checkpoint``
         so the backward holds one snapshot's internals at a time."""
+        if pyramids.blocks is not None:
+            # ragged per-snapshot block shapes: unroll over t (T <= ~15)
+            from ctgcn_tpu.ops.pyramid import pyramid_at
+
+            res = [self.single(None if xs is None else xs[t],
+                               pyramid_at(pyramids, t))
+                   for t in range(len(pyramids.blocks))]
+            return jax.tree.map(lambda *a: jnp.stack(a), *res)
         use_map = pyramids.plan_fwd is not None
         remat = _window_act_bytes(self.cdn, pyramids) > _ACT_BUDGET_BYTES
         use_map |= remat
@@ -336,6 +371,17 @@ class CTGCN:
             emb = cdn(trans, pyr)
             return emb, trans
 
+        if pyramids.blocks is not None:
+            from ctgcn_tpu.ops.pyramid import pyramid_at
+
+            res = []
+            for t in range(len(pyramids.blocks)):
+                mlp_t = jax.tree.map(lambda l: l[t], self.mlps)
+                cdn_t = jax.tree.map(lambda l: l[t], self.cdns)
+                res.append(per_t(mlp_t, cdn_t,
+                                 None if xs is None else xs[t],
+                                 pyramid_at(pyramids, t)))
+            return jax.tree.map(lambda *a: jnp.stack(a), *res)
         use_map = pyramids.plan_fwd is not None
         remat = _window_act_bytes(self.cdns, pyramids) > _ACT_BUDGET_BYTES
         use_map |= remat

@@ -60,6 +60,20 @@ class CorePyramid:
     # with ~3.5e-6 mean rel err on the UCI bank; measured on v5e, see
     # data/bench_precision.json).  Ignored for a bf16 bank (single pass).
     dense_prec: str = struct.field(pytree_node=False, default="highest")
+    # Core-sorted leading-principal-block mirror (the small-graph fast
+    # path).  K-core supports are NESTED (the k-core is exactly the nodes
+    # with coreness >= k), so under one per-snapshot permutation — nodes
+    # sorted by coreness descending — EVERY slot's adjacency lives in a
+    # leading n_k x n_k principal block.  ``blocks`` holds those cropped
+    # dense blocks (slot 0 WITHOUT the +I, which the model re-adds as
+    # "+ x"), bucket-padded to multiples of 256; ``perm``/``inv_perm`` map
+    # node order.  Sum(n_k^2) MACs instead of K*N^2 — 48x less on UCI
+    # (mean over snapshots).  Single pyramid: tuple of [nb, nb] arrays;
+    # stacked: tuple over t of such tuples (ragged shapes — the model
+    # unrolls over t instead of vmapping).
+    blocks: object | None = None
+    perm: jnp.ndarray | None = None       # int32[N] (stacked: [T, N])
+    inv_perm: jnp.ndarray | None = None   # int32[N] (stacked: [T, N])
 
     @property
     def num_slots(self) -> int:
@@ -73,7 +87,7 @@ class CorePyramid:
 def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
                        add_eye_first=True, drop_empty_delta=True,
                        densify=False, dense_dtype=None, build_plans=False,
-                       dense_prec="highest"):
+                       dense_prec="highest", build_blocks=False):
     """Build a CorePyramid from scipy matrices ordered max-core-first.
 
     Args:
@@ -89,12 +103,14 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
     import scipy.sparse as sp
 
     kept = []
+    kept_raw = []  # kept slots WITHOUT the slot-0 +I (block backend input)
     prev = None
     for j, mat in enumerate(core_mats):
         mat = mat.tocsr()
         if j == 0:
             out = mat + sp.eye(n_nodes, format="csr") if add_eye_first else mat
             kept.append(out)
+            kept_raw.append(mat)
         else:
             if drop_empty_delta and prev is not None:
                 delta = (mat - prev)
@@ -102,6 +118,7 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
                     prev = mat
                     continue
             kept.append(mat)
+            kept_raw.append(mat)
         prev = mat
 
     K = int(num_slots) if num_slots is not None else max(len(kept), 1)
@@ -144,10 +161,62 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
         plan_fwd, plan_t = build_pyramid_plans(
             list(enumerate(kept)), n_nodes, K)
 
+    blocks = perm = inv_perm = None
+    if build_blocks:
+        built = _build_core_blocks(kept_raw, n_nodes,
+                                   dtype=dense_dtype or jnp.float32)
+        if built is not None:
+            blocks, perm, inv_perm = built
+
     return CorePyramid(rows=rows_j, cols=cols_j, vals=vals_j,
                        valid=jnp.asarray(valid), n_nodes=int(n_nodes),
                        dense=dense, plan_fwd=plan_fwd, plan_t=plan_t,
-                       dense_prec=dense_prec)
+                       dense_prec=dense_prec, blocks=blocks, perm=perm,
+                       inv_perm=inv_perm)
+
+
+def _build_core_blocks(kept_raw, n_nodes, dtype=None, bucket=256):
+    """Core-sorted leading-principal-block mirror of the kept core slots.
+
+    K-core supports are nested (max-core-first: support(slot k) ⊆
+    support(slot k+1)), so sorting nodes by "number of slots containing
+    them" descending puts every slot's support at the front — slot k's
+    adjacency becomes the leading n_k × n_k principal block of the permuted
+    matrix.  Returns (blocks, perm, inv_perm) with blocks bucket-padded to
+    multiples of ``bucket`` (zero padding is exact: padded coefficients are
+    zero), or None when the supports are not nested (defensive — cannot
+    happen for true k-core pyramids, reference helper.py:51-82).
+    """
+    level = np.zeros(n_nodes, np.int64)
+    supports = []
+    for m in kept_raw:
+        coo = m.tocoo()
+        nz = coo.data != 0
+        s = np.zeros(n_nodes, bool)
+        s[coo.row[nz]] = True
+        s[coo.col[nz]] = True
+        supports.append(s)
+        level += s
+    for a, b in zip(supports[:-1], supports[1:]):
+        if np.any(a & ~b):
+            return None
+    perm = np.argsort(-level, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n_nodes, dtype=np.int32)
+    blocks = []
+    for m, s in zip(kept_raw, supports):
+        nk = int(s.sum())
+        nb = min(-(-max(nk, 1) // bucket) * bucket, n_nodes)
+        coo = m.tocoo()
+        nz = coo.data != 0
+        r = inv[coo.row[nz]]
+        c = inv[coo.col[nz]]
+        if r.size and (r.max() >= nb or c.max() >= nb):
+            return None
+        blk = np.zeros((nb, nb), np.float32)
+        blk[r, c] = coo.data[nz]
+        blocks.append(jnp.asarray(blk, dtype=dtype or jnp.float32))
+    return tuple(blocks), jnp.asarray(perm), jnp.asarray(inv)
 
 
 @functools.partial(jax.jit, static_argnums=(3,), static_argnames=("dtype",))
@@ -177,7 +246,31 @@ def stack_pyramids(pyramids):
                       plan_t=pad_block_plan(p.plan_t, nb_t))
             for p in pyramids
         ]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *pyramids)
+    blocks = perm = inv = None
+    if pyramids and pyramids[0].blocks is not None:
+        # block shapes are ragged across snapshots: keep them as a tuple
+        # over t (the model unrolls over t on this path) and stack only
+        # the rectangular leaves
+        blocks = tuple(p.blocks for p in pyramids)
+        perm = jnp.stack([p.perm for p in pyramids])
+        inv = jnp.stack([p.inv_perm for p in pyramids])
+        pyramids = [p.replace(blocks=None, perm=None, inv_perm=None)
+                    for p in pyramids]
+    out = jax.tree.map(lambda *xs: jnp.stack(xs), *pyramids)
+    if blocks is not None:
+        out = out.replace(blocks=blocks, perm=perm, inv_perm=inv)
+    return out
+
+
+def pyramid_at(stacked: CorePyramid, t: int) -> CorePyramid:
+    """Slice snapshot ``t`` out of a stacked pyramid (block-backend path,
+    where ragged per-snapshot block shapes rule out vmap)."""
+    import jax
+
+    base = stacked.replace(blocks=None, perm=None, inv_perm=None)
+    one = jax.tree.map(lambda l: l[t], base)
+    return one.replace(blocks=stacked.blocks[t], perm=stacked.perm[t],
+                       inv_perm=stacked.inv_perm[t])
 
 
 def attach_ell_plans(stacked: CorePyramid, bf16=False, min_width=8):

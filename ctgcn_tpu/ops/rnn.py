@@ -21,10 +21,15 @@ numerically identical to removing the step when outputs are summed.
 """
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+#: default ``lax.scan`` unroll for rnn_scan (see its docstring).
+_RNN_UNROLL = int(os.environ.get("CTGCN_TPU_RNN_UNROLL", "1"))
 
 
 def _uniform(key, shape, bound):
@@ -120,7 +125,7 @@ class LSTMCell(NamedTuple):
 
 
 def rnn_scan(cell, xs, mask: Optional[jnp.ndarray] = None, h0=None,
-             reverse=False):
+             reverse=False, unroll: Optional[int] = None):
     """Run a GRU/LSTM over the leading axis of ``xs`` ([T, B, in]).
 
     Args:
@@ -129,11 +134,19 @@ def rnn_scan(cell, xs, mask: Optional[jnp.ndarray] = None, h0=None,
       mask: optional bool[T]; invalid steps pass the carry through unchanged
         and emit zeros (packed-sequence semantics, see module docstring).
       h0: optional initial hidden state ([B, H], or (h, c) for LSTM).
+      unroll: ``lax.scan`` unroll factor; defaults to
+        ``$CTGCN_TPU_RNN_UNROLL`` (1).  Measured on v5e (UCI CTGCN-C step,
+        scripts/ablate_step.py): unrolling HURTS — 45.6 ms at unroll=1 vs
+        60.5 ms at unroll=4 (larger live ranges defeat XLA's while-loop
+        double buffering) — so the rolled scan stays the default; the knob
+        exists for re-probing on other topologies.
 
     Returns:
       outs: [T, B, H] hidden state per step (zeros at masked steps).
       carry: final carry.
     """
+    if unroll is None:
+        unroll = _RNN_UNROLL
     T, B = xs.shape[0], xs.shape[1]
     H = cell.hidden_dim
     is_lstm = isinstance(cell, LSTMCell)
@@ -151,7 +164,8 @@ def rnn_scan(cell, xs, mask: Optional[jnp.ndarray] = None, h0=None,
             out = new_carry[0] if is_lstm else new_carry
             return new_carry, out
 
-        carry, outs = jax.lax.scan(step, carry0, gi_all, reverse=reverse)
+        carry, outs = jax.lax.scan(step, carry0, gi_all, reverse=reverse,
+                                   unroll=min(unroll, T))
     else:
         mask = mask.astype(bool)
 
@@ -169,5 +183,5 @@ def rnn_scan(cell, xs, mask: Optional[jnp.ndarray] = None, h0=None,
             return new_carry, out
 
         carry, outs = jax.lax.scan(step, carry0, (gi_all, mask),
-                                   reverse=reverse)
+                                   reverse=reverse, unroll=min(unroll, T))
     return outs, carry

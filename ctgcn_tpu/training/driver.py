@@ -95,7 +95,9 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
             core_backend=args.get("core_backend", "auto"),
             dense_budget_bytes=args.get("dense_budget_bytes", 4 << 30),
             dense_dtype=(jnp.bfloat16 if mm_prec == "bf16" else None),
-            dense_prec=("high" if mm_prec == "high" else "highest"))
+            dense_prec=("high" if mm_prec == "high" else "highest"),
+            # ragged block shapes can't shard over the mesh's time axis
+            allow_blocks=args.get("n_devices", 0) <= 1)
     else:
         # GIN aggregates center+neighbors together (+I) when not learn_eps
         # (reference baseline/gin.py:120-133)

@@ -321,7 +321,8 @@ def test_core_diffusion_high_prec_matches_highest(adjs, rng):
 
 
 def test_loader_dense_dtype_plumbs_to_bank(tmp_path, rng):
-    """DataLoader.get_core_adj_list(dense_dtype=bf16) stores a bf16 bank."""
+    """DataLoader.get_core_adj_list(dense_dtype=bf16) stores a bf16 bank
+    (forced dense) / bf16 blocks (auto prefers the block backend)."""
     import os
     from ctgcn_tpu.data.loader import DataLoader
 
@@ -332,8 +333,82 @@ def test_loader_dense_dtype_plumbs_to_bank(tmp_path, rng):
     sp.save_npz(str(core_dir / "0.npz"), sp.coo_matrix(d).tocsr())
     loader = DataLoader([f"n{i}" for i in range(12)], 1)
     pyr = loader.get_core_adj_list(str(tmp_path / "cores"), 0, 1,
+                                   core_backend="dense",
                                    dense_dtype=jnp.bfloat16)
     assert pyr.dense is not None and pyr.dense.dtype == jnp.bfloat16
+    pyr_auto = loader.get_core_adj_list(str(tmp_path / "cores"), 0, 1,
+                                        dense_dtype=jnp.bfloat16)
+    assert pyr_auto.blocks is not None
+    assert pyr_auto.blocks[0][0].dtype == jnp.bfloat16
+    assert pyr_auto.dense is None
+    pyr_nb = loader.get_core_adj_list(str(tmp_path / "cores"), 0, 1,
+                                      allow_blocks=False)
+    assert pyr_nb.blocks is None and pyr_nb.dense is not None
+
+
+def _pyramid_pair(adjs, **kw):
+    """(dense, blocks) stacked pyramids over the same synthetic cores."""
+    out = []
+    for build_blocks in (False, True):
+        pyrs = []
+        for m in adjs:
+            A = m.tocsr()
+            deg = np.asarray(A.sum(1)).flatten()
+            mats = []
+            for k in [2, 1]:
+                keep = (deg >= k).astype(np.float32)
+                mats.append(sp.csr_matrix(
+                    A.multiply(keep[:, None]).multiply(keep[None, :])))
+            pyrs.append(build_core_pyramid(
+                mats, N, num_slots=3, pad_to=512,
+                densify=not build_blocks, build_blocks=build_blocks, **kw))
+        out.append(stack_pyramids(pyrs))
+    return out
+
+
+def test_core_blocks_backend_matches_dense(adjs, rng):
+    """Core-sorted principal-block backend == dense bank: full CTGCN-C
+    forward and grads allclose through the jitted path (the permutation,
+    cropped matmuls, +x identity and un-permute are exact re-arrangements
+    of the same math)."""
+    from ctgcn_tpu.nn.core_models import CTGCN
+
+    p_dense, p_blocks = _pyramid_pair(adjs)
+    assert p_blocks.blocks is not None and len(p_blocks.blocks) == T
+    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=16,
+                       output_dim=8, trans_num=1, diffusion_num=2,
+                       duration=T)
+    fwd = jax.jit(lambda m, p: m(None, p))
+    o_d = fwd(model, p_dense)
+    o_b = fwd(model, p_blocks)
+    np.testing.assert_allclose(np.asarray(o_b), np.asarray(o_d),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(m, p):
+        return jnp.sum(jnp.square(m(None, p)))
+
+    g_d = jax.jit(jax.grad(loss))(model, p_dense)
+    g_b = jax.jit(jax.grad(loss))(model, p_blocks)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4),
+        g_d, g_b)
+
+
+def test_core_blocks_backend_cgcn_s(adjs, rng):
+    """Blocks backend through the CGCN 'S' tuple-output path."""
+    from ctgcn_tpu.nn.core_models import CGCN
+
+    p_dense, p_blocks = _pyramid_pair(adjs)
+    model = CGCN.init(jax.random.key(1), input_dim=N, hidden_dim=16,
+                      output_dim=8, trans_num=1, diffusion_num=1,
+                      model_type="S")
+    e_d, t_d = model(None, p_dense)
+    e_b, t_b = model(None, p_blocks)
+    np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_d),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_d),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_remat_map_path_matches_vmap(pyramids, monkeypatch):

@@ -7,6 +7,7 @@ window stacks into [T, ...] device arrays that jit/vmap/scan over cleanly.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -25,6 +26,11 @@ from ctgcn_tpu.utils import pad_bucket
 def stack_graphs(graphs):
     """Stack equally-padded SparseGraphs into one with leading [T] axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _scatter_table(rows, slots, cols, n_nodes, max_deg):
+    return jnp.zeros((n_nodes, max_deg), jnp.int32).at[rows, slots].set(cols)
 
 
 class DataLoader:
@@ -115,7 +121,7 @@ class DataLoader:
                           max_core=-1, stacked=True,
                           dense_budget_bytes=4 << 30, core_backend="auto",
                           dense_dtype=None, dense_prec="highest",
-                          allow_blocks=True):
+                          allow_blocks=True, uniform_blocks=False):
         """K-core pyramid bank (reference helper.py:51-82 semantics:
         truncate to max_core, reverse so max core first, +I on the first,
         delta-skip as validity masks).
@@ -161,9 +167,11 @@ class DataLoader:
             # wherever the bank fits at all (Sum(n_k^2) << K*N^2 MACs,
             # same numerics — see CorePyramid.blocks); dense remains the
             # fallback if the support-nesting check fails (cannot for
-            # true k-core pyramids).  ``allow_blocks=False`` (the
-            # time-sharded mesh path — ragged block shapes can't shard
-            # over the [T] axis) keeps the old dense-bank auto choice.
+            # true k-core pyramids).  ``uniform_blocks=True`` (the mesh
+            # path) pads the banks to window-uniform shapes so blocks
+            # shard over the time axis — a 5.1x MAC premium on UCI that
+            # single-device runs (ragged unroll) never pay;
+            # ``allow_blocks=False`` forces the dense bank.
             build_blocks = densify and allow_blocks
             densify = densify and not build_blocks
             build_plans = False
@@ -197,7 +205,7 @@ class DataLoader:
             ]
         if not stacked:
             return pyramids
-        out = stack_pyramids(pyramids)
+        out = stack_pyramids(pyramids, uniform_blocks=uniform_blocks)
         if build_ell:
             from ctgcn_tpu.ops.pyramid import attach_ell_plans
 
@@ -252,17 +260,29 @@ class DataLoader:
                 logits = np.log(counts)
             logits_t.append(logits.astype(np.float32))
 
+        # Build the padded [N, max_deg] neighbor tables ON DEVICE from the
+        # flat CSR-ish coordinates: at AS scale (hub rows co-occur with
+        # thousands of nodes) the host-built tables run to hundreds of MB
+        # and the host→device link crawls (~2 MB/s past ~64 MB), while the
+        # flat ids are a few MB and the scatter is nearly free.
         for rows in rows_list:
-            nb = np.zeros((self.node_num, max_deg), np.int32)
-            dg = np.zeros((self.node_num,), np.int32)
-            for n, r in enumerate(rows):
-                dg[n] = len(r)
-                nb[n, :len(r)] = r
-            neighbors_t.append(nb)
+            dg = np.fromiter((len(r) for r in rows), np.int32,
+                             count=self.node_num)
+            flat_cols = np.concatenate(
+                [np.asarray(r, np.int32) for r in rows if len(r)]
+            ) if dg.sum() else np.zeros(0, np.int32)
+            starts = np.concatenate([[0], np.cumsum(dg)[:-1]])
+            flat_rows = np.repeat(np.arange(self.node_num, dtype=np.int32),
+                                  dg)
+            slots = (np.arange(dg.sum(), dtype=np.int32)
+                     - np.repeat(starts, dg).astype(np.int32))
+            neighbors_t.append(_scatter_table(
+                jnp.asarray(flat_rows), jnp.asarray(slots),
+                jnp.asarray(flat_cols), self.node_num, max_deg))
             degrees_t.append(dg)
 
         return WalkData(
-            neighbors=jnp.asarray(np.stack(neighbors_t)),
+            neighbors=jnp.stack(neighbors_t),
             degrees=jnp.asarray(np.stack(degrees_t)),
             neg_logits=jnp.asarray(np.stack(logits_t)),
         )

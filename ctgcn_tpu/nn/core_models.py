@@ -295,9 +295,13 @@ class CGCN:
         hand-DMA'd pallas_call has no vmap batching rule; one big kernel per
         snapshot serializes cleanly).  Windows whose activation footprint
         exceeds ``_ACT_BUDGET_BYTES`` also serialize, with ``jax.checkpoint``
-        so the backward holds one snapshot's internals at a time."""
-        if pyramids.blocks is not None:
-            # ragged per-snapshot block shapes: unroll over t (T <= ~15)
+        so the backward holds one snapshot's internals at a time.  The
+        blocks backend unrolls over t when the bank is ragged (exact
+        per-snapshot shapes — the single-device fast path) and vmaps like
+        the others when stack_pyramids padded it to window-uniform shapes
+        (the mesh path)."""
+        if pyramids.blocks is not None and isinstance(pyramids.blocks[0],
+                                                      tuple):
             from ctgcn_tpu.ops.pyramid import pyramid_at
 
             res = [self.single(None if xs is None else xs[t],
@@ -371,7 +375,9 @@ class CTGCN:
             emb = cdn(trans, pyr)
             return emb, trans
 
-        if pyramids.blocks is not None:
+        if pyramids.blocks is not None and isinstance(pyramids.blocks[0],
+                                                      tuple):
+            # ragged per-snapshot block shapes: unroll over t (T <= ~15)
             from ctgcn_tpu.ops.pyramid import pyramid_at
 
             res = []

@@ -68,9 +68,11 @@ class CorePyramid:
     # dense blocks (slot 0 WITHOUT the +I, which the model re-adds as
     # "+ x"), bucket-padded to multiples of 256; ``perm``/``inv_perm`` map
     # node order.  Sum(n_k^2) MACs instead of K*N^2 — 48x less on UCI
-    # (mean over snapshots).  Single pyramid: tuple of [nb, nb] arrays;
-    # stacked: tuple over t of such tuples (ragged shapes — the model
-    # unrolls over t instead of vmapping).
+    # (mean over snapshots).  Single pyramid: tuple over core slots of
+    # [nb_k, nb_k] arrays; stacked: tuple over slots of [T, nb_k, nb_k]
+    # (stack_pyramids pads each slot to the window-max block size — zero
+    # padding is exact — so the leaves vmap over t and shard over the
+    # mesh's time axis like every other [T]-leading leaf).
     blocks: object | None = None
     perm: jnp.ndarray | None = None       # int32[N] (stacked: [T, N])
     inv_perm: jnp.ndarray | None = None   # int32[N] (stacked: [T, N])
@@ -213,10 +215,20 @@ def _build_core_blocks(kept_raw, n_nodes, dtype=None, bucket=256):
         c = inv[coo.col[nz]]
         if r.size and (r.max() >= nb or c.max() >= nb):
             return None
-        blk = np.zeros((nb, nb), np.float32)
-        blk[r, c] = coo.data[nz]
-        blocks.append(jnp.asarray(blk, dtype=dtype or jnp.float32))
+        # scatter the block ON DEVICE from the (tiny) COO: a host-built
+        # [nb, nb] dense block crosses the host↔device link at far below
+        # HBM bandwidth — ~1 GB/window at AS/Facebook scale (cf.
+        # _densify_on_device)
+        blocks.append(_scatter_block(
+            jnp.asarray(r.astype(np.int32)), jnp.asarray(c.astype(np.int32)),
+            jnp.asarray(coo.data[nz].astype(np.float32)), nb,
+            dtype=dtype or jnp.float32))
     return tuple(blocks), jnp.asarray(perm), jnp.asarray(inv)
+
+
+@functools.partial(jax.jit, static_argnums=(3,), static_argnames=("dtype",))
+def _scatter_block(r, c, v, nb, dtype=jnp.float32):
+    return jnp.zeros((nb, nb), dtype).at[r, c].set(v.astype(dtype))
 
 
 @functools.partial(jax.jit, static_argnums=(3,), static_argnames=("dtype",))
@@ -229,11 +241,22 @@ def _densify_on_device(rows, cols, vals, n_nodes, dtype=jnp.float32):
     return jax.vmap(one)(rows, cols, vals)
 
 
-def stack_pyramids(pyramids):
+def stack_pyramids(pyramids, uniform_blocks=False):
     """Stack per-snapshot pyramids (same K, P) into [T, K, P] leaves.
 
     BSR plans (when present) are first padded to the window-max block count
-    so their leaves stack too (padding blocks are unreachable via row_ptr)."""
+    so their leaves stack too (padding blocks are unreachable via row_ptr).
+
+    ``uniform_blocks`` controls the blocks-backend representation:
+      * False (single-device default): tuple over t of per-snapshot block
+        tuples — exact per-snapshot shapes, the model unrolls over t.
+        Window-max padding costs 5.1x the MACs on the UCI window (snapshot
+        core counts/sizes vary wildly), so raggedness is kept wherever
+        nothing needs to shard.
+      * True (mesh path): every slot padded to its window-max size and
+        missing slots zero-filled — tuple over slots of [T, nb_k, nb_k]
+        leaves that vmap over t and shard over the mesh's time axis
+        (zero padding is exact; missing slots are masked by ``valid``)."""
     import jax
 
     if pyramids and pyramids[0].plan_fwd is not None:
@@ -248,10 +271,27 @@ def stack_pyramids(pyramids):
         ]
     blocks = perm = inv = None
     if pyramids and pyramids[0].blocks is not None:
-        # block shapes are ragged across snapshots: keep them as a tuple
-        # over t (the model unrolls over t on this path) and stack only
-        # the rectangular leaves
-        blocks = tuple(p.blocks for p in pyramids)
+        if uniform_blocks:
+            dt = pyramids[0].blocks[0].dtype
+            Kb = max(len(p.blocks) for p in pyramids)
+            sizes = [
+                max(p.blocks[k].shape[0] for p in pyramids
+                    if k < len(p.blocks))
+                for k in range(Kb)
+            ]
+
+            def slot(p, k, nb):
+                if k >= len(p.blocks):
+                    return jnp.zeros((nb, nb), dt)
+                b = p.blocks[k]
+                pad = nb - b.shape[0]
+                return jnp.pad(b, ((0, pad), (0, pad))) if pad else b
+
+            blocks = tuple(
+                jnp.stack([slot(p, k, sizes[k]) for p in pyramids])
+                for k in range(Kb))
+        else:
+            blocks = tuple(p.blocks for p in pyramids)
         perm = jnp.stack([p.perm for p in pyramids])
         inv = jnp.stack([p.inv_perm for p in pyramids])
         pyramids = [p.replace(blocks=None, perm=None, inv_perm=None)
@@ -263,14 +303,19 @@ def stack_pyramids(pyramids):
 
 
 def pyramid_at(stacked: CorePyramid, t: int) -> CorePyramid:
-    """Slice snapshot ``t`` out of a stacked pyramid (block-backend path,
-    where ragged per-snapshot block shapes rule out vmap)."""
+    """Slice snapshot ``t`` out of a stacked pyramid (debug/test helper;
+    the model vmaps over the stacked leaves directly)."""
     import jax
 
     base = stacked.replace(blocks=None, perm=None, inv_perm=None)
     one = jax.tree.map(lambda l: l[t], base)
-    return one.replace(blocks=stacked.blocks[t], perm=stacked.perm[t],
-                       inv_perm=stacked.inv_perm[t])
+    if stacked.blocks is not None:
+        ragged = isinstance(stacked.blocks[0], tuple)
+        blocks = (stacked.blocks[t] if ragged
+                  else tuple(b[t] for b in stacked.blocks))
+        one = one.replace(blocks=blocks, perm=stacked.perm[t],
+                          inv_perm=stacked.inv_perm[t])
+    return one
 
 
 def attach_ell_plans(stacked: CorePyramid, bf16=False, min_width=8):

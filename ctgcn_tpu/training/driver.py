@@ -96,8 +96,10 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
             dense_budget_bytes=args.get("dense_budget_bytes", 4 << 30),
             dense_dtype=(jnp.bfloat16 if mm_prec == "bf16" else None),
             dense_prec=("high" if mm_prec == "high" else "highest"),
-            # ragged block shapes can't shard over the mesh's time axis
-            allow_blocks=args.get("n_devices", 0) <= 1)
+            # the mesh path needs window-uniform block shapes to shard the
+            # [T] axis; single-device keeps exact ragged shapes (5.1x
+            # fewer MACs on UCI — see stack_pyramids)
+            uniform_blocks=args.get("n_devices", 0) > 1)
     else:
         # GIN aggregates center+neighbors together (+I) when not learn_eps
         # (reference baseline/gin.py:120-133)
@@ -108,6 +110,22 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
             normalize=normalize, row_norm=row_norm,
             add_eye=add_eye or gin_add_eye,
             adj_backend=args.get("adj_backend", "auto"))
+        if (method in ("GCN", "TgGCN")
+                and args.get("graph_partition", False)
+                and args.get("n_devices", 0) > 1):
+            # config key ``graph_partition``: split each snapshot's
+            # adjacency by destination-node blocks across the mesh's
+            # ``graph`` axis; SpMMs exchange only boundary features via
+            # all_to_all (parallel/graph_partition.halo_gcn_forward)
+            from ctgcn_tpu.parallel.graph_partition import (
+                partition_graph_halo)
+
+            mats = data_loader.get_scipy_adj_list(
+                origin_base_path, idx, time_length, sep=file_sep,
+                normalize=normalize, row_norm=row_norm, add_eye=add_eye)
+            n_parts = min(args["n_devices"], len(jax.devices()))
+            args["_halo_adjs"] = tuple(
+                partition_graph_halo(m, n_parts) for m in mats)
         if method in ("SAGE", "TgSAGE") or (
                 method in ("GIN", "TgGIN")
                 and args.get("pooling_type", "sum") == "max"):
@@ -231,7 +249,7 @@ def get_gnn_model(method, time_length, args, key):
                       trans_activate_type=trans_activate_type)
 
 
-def make_forward(method, pipeline_mesh=None):
+def make_forward(method, pipeline_mesh=None, halo_mesh=None, node_num=None):
     """Build fwd(model, data, key) -> embs [T, N, d] (plus trans for
     S-variants, plus (h, loss_data) for VGRNN).
 
@@ -244,7 +262,13 @@ def make_forward(method, pipeline_mesh=None):
     mesh's time axis instead of as one replicated scan
     (parallel/pipeline.ctgcn_pipelined_forward).
     """
-    if pipeline_mesh is not None and method in ("CTGCN-C", "CTGCN-S"):
+    if halo_mesh is not None and method in ("GCN", "TgGCN"):
+        from ctgcn_tpu.parallel.graph_partition import halo_gcn_forward
+
+        def fwd(model, data, key=None):
+            return halo_gcn_forward(halo_mesh, model, data["xs"],
+                                    data["halo_adjs"], node_num, key=key)
+    elif pipeline_mesh is not None and method in ("CTGCN-C", "CTGCN-S"):
         from ctgcn_tpu.parallel.pipeline import ctgcn_pipelined_forward
 
         def fwd(model, data, key=None):
@@ -489,15 +513,29 @@ def gnn_embedding(method, args):
             "neighbor_data": args.pop("_neighbor_data", None),
             "vgrnn_adjs": args.pop("_vgrnn_norm_adjs", None),
             "pgnn_dists": args.pop("_pgnn_dists", None),
+            "halo_adjs": args.pop("_halo_adjs", None),
         }
         key, k_model = jax.random.split(key)
         model = get_gnn_model(method, time_length, args, k_model)
-        mesh = _make_product_mesh(args, time_length)
+        halo_mesh = None
+        if data["halo_adjs"] is not None:
+            # graph-partitioned path: the mesh axis is ``graph`` (snapshot
+            # rows), not ``time`` — the trainer-level time sharding does
+            # not apply, the shard_map inside the forward does the work
+            from ctgcn_tpu.parallel.mesh import make_mesh
+
+            halo_mesh = make_mesh(data["halo_adjs"][0].parts,
+                                  axis_name="graph")
+            mesh = None
+        else:
+            mesh = _make_product_mesh(args, time_length)
         pipeline_mesh = (mesh if (mesh is not None
                                   and args.get("temporal_pipeline", False)
                                   and method in ("CTGCN-C", "CTGCN-S"))
                          else None)
-        fwd = make_forward(method, pipeline_mesh=pipeline_mesh)
+        fwd = make_forward(method, pipeline_mesh=pipeline_mesh,
+                           halo_mesh=halo_mesh,
+                           node_num=data_loader.node_num)
         cost = _run_window(method, model, fwd, data, data_loader, args, idx,
                            time_length, edge_list, learning_type, base_path,
                            origin_folder, embedding_folder, node_list,

@@ -346,7 +346,7 @@ def test_loader_dense_dtype_plumbs_to_bank(tmp_path, rng):
     assert pyr_nb.blocks is None and pyr_nb.dense is not None
 
 
-def _pyramid_pair(adjs, **kw):
+def _pyramid_pair(adjs, uniform_blocks=False, **kw):
     """(dense, blocks) stacked pyramids over the same synthetic cores."""
     out = []
     for build_blocks in (False, True):
@@ -362,19 +362,26 @@ def _pyramid_pair(adjs, **kw):
             pyrs.append(build_core_pyramid(
                 mats, N, num_slots=3, pad_to=512,
                 densify=not build_blocks, build_blocks=build_blocks, **kw))
-        out.append(stack_pyramids(pyrs))
+        out.append(stack_pyramids(
+            pyrs, uniform_blocks=build_blocks and uniform_blocks))
     return out
 
 
-def test_core_blocks_backend_matches_dense(adjs, rng):
+@pytest.mark.parametrize("uniform", [False, True])
+def test_core_blocks_backend_matches_dense(adjs, rng, uniform):
     """Core-sorted principal-block backend == dense bank: full CTGCN-C
     forward and grads allclose through the jitted path (the permutation,
     cropped matmuls, +x identity and un-permute are exact re-arrangements
-    of the same math)."""
+    of the same math) — in both the ragged (single-device unroll) and
+    window-uniform (mesh vmap) representations."""
     from ctgcn_tpu.nn.core_models import CTGCN
 
-    p_dense, p_blocks = _pyramid_pair(adjs)
-    assert p_blocks.blocks is not None and len(p_blocks.blocks) == T
+    p_dense, p_blocks = _pyramid_pair(adjs, uniform_blocks=uniform)
+    assert p_blocks.blocks is not None
+    if uniform:
+        assert all(b.shape[0] == T for b in p_blocks.blocks)
+    else:
+        assert len(p_blocks.blocks) == T
     model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=16,
                        output_dim=8, trans_num=1, diffusion_num=2,
                        duration=T)

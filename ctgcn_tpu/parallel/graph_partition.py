@@ -278,3 +278,48 @@ def sharded_spmm_halo(mesh, hpg: HaloPartitionedGraph, x, axis="graph"):
     return fn(hpg.local_rows, hpg.local_cols, hpg.local_vals,
               hpg.remote_rows, hpg.remote_idx, hpg.remote_vals,
               hpg.halo_send, x)
+
+
+# ---------------------------------------------------------------------------
+# Product wiring: full GCN forward over halo-partitioned snapshots.  The
+# config keys ``graph_partition: true`` + ``n_devices`` route static-GNN
+# embedding runs through this path from gnn_embedding (training/driver.py) —
+# a single large snapshot is split across the mesh's ``graph`` axis instead
+# of replicated (SURVEY §7.1's scale-out mandate; the reference's answer to
+# big snapshots is "use a bigger GPU", README.md:178).
+# ---------------------------------------------------------------------------
+
+def halo_spmm_layer(mesh, hpg: HaloPartitionedGraph, support, n_nodes,
+                    axis="graph"):
+    """``A @ support`` through the halo exchange, padding/cropping between
+    the model's [N, d] row space and the partition's [parts·rpp, d]."""
+    pad = hpg.n_rows - support.shape[0]
+    if pad:
+        support = jnp.pad(support, ((0, pad), (0, 0)))
+    return sharded_spmm_halo(mesh, hpg, support, axis=axis)[:n_nodes]
+
+
+def halo_gcn_forward(mesh, gcn, xs, hpgs, n_nodes, key=None, axis="graph"):
+    """GCN window forward with every SpMM halo-partitioned over ``axis``.
+
+    gcn: nn.gcn.GCN (weights replicated); xs: [T, N, in] or None (identity
+    features — I @ W == W); hpgs: per-snapshot HaloPartitionedGraphs (a
+    tuple — per-snapshot capacities differ, so snapshots loop rather than
+    vmap).  Matches GCN.__call__ numerics up to reduction order.
+    """
+    from ctgcn_tpu.nn.gcn import _dropout
+
+    def conv(layer, h, hpg):
+        support = layer.weight if h is None else h @ layer.weight
+        out = halo_spmm_layer(mesh, hpg, support, n_nodes, axis=axis)
+        return out if layer.bias is None else out + layer.bias
+
+    T = len(hpgs)
+    keys = jax.random.split(key, T) if key is not None else [None] * T
+    outs = []
+    for t, hpg in enumerate(hpgs):
+        x = None if xs is None else xs[t]
+        h = jax.nn.relu(conv(gcn.gc1, x, hpg))
+        h = _dropout(h, gcn.dropout, keys[t])
+        outs.append(conv(gcn.gc2, h, hpg))
+    return jnp.stack(outs)

@@ -125,6 +125,30 @@ def test_ctgcn_c_multichip_pipeline_matches_single_device(preprocessed):
 
 
 @pytest.mark.integration
+def test_gcn_halo_partition_pipeline_matches_single_device(preprocessed):
+    """Config keys graph_partition+n_devices route static-GNN embedding
+    through the halo-partitioned SpMM (all_to_all boundary exchange on the
+    mesh's graph axis); exported embeddings must match the replicated
+    single-device run (same seed; reduction order is the only difference)."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    common = dict(duration=1, seed=321)
+    gnn_embedding("GCN", _embed_args(
+        preprocessed, "GCN_halo1", model_file="gcn_halo1", **common))
+    gnn_embedding("GCN", _embed_args(
+        preprocessed, "GCN_halo8", model_file="gcn_halo8",
+        n_devices=8, graph_partition=True, **common))
+    d1 = os.path.join(preprocessed, "2.embedding", "GCN_halo1")
+    d8 = os.path.join(preprocessed, "2.embedding", "GCN_halo8")
+    files = sorted(os.listdir(d1))
+    assert files == sorted(os.listdir(d8)) and len(files) == N_SNAPSHOTS
+    for f in files:
+        a = pd.read_csv(os.path.join(d1, f), sep="\t", index_col=0).values
+        b = pd.read_csv(os.path.join(d8, f), sep="\t", index_col=0).values
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.integration
 def test_link_prediction_end_to_end(preprocessed):
     from ctgcn_tpu.evaluation.link_prediction import link_prediction
 

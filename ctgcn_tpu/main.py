@@ -45,7 +45,16 @@ def _maybe_init_distributed():
         return
     import jax
 
-    jax.distributed.initialize()
+    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself but
+    # (as of jax 0.9) NOT the process-count/id variables — on a plain
+    # cluster (no SLURM/GKE auto-detection) they must be passed explicitly
+    # or initialize() raises "Number of processes must be defined".
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
     print(f"jax.distributed: process {jax.process_index()} of "
           f"{jax.process_count()}, {jax.local_device_count()} local / "
           f"{jax.device_count()} global devices")

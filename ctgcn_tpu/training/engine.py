@@ -41,7 +41,27 @@ def make_optimizer(lr, weight_decay=0.0):
     return optax.chain(optax.scale_by_adam(), optax.scale(-lr))
 
 
+def _fetch(x):
+    """Host-side value of a possibly cross-process-sharded array.
+
+    Under multi-host ``jax.distributed`` the mesh spans processes, so
+    time-sharded leaves are not fully addressable locally; gather them
+    (collective — every process must call this) before any numpy access."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+    return x
+
+
+def _is_primary():
+    return jax.process_index() == 0
+
+
 def save_params(params, path):
+    params = jax.tree.map(_fetch, params)
+    if not _is_primary():
+        return
     check_and_make_path(os.path.dirname(path))
     with open(path, "wb") as fp:
         fp.write(serialization.to_bytes(params))
@@ -96,7 +116,9 @@ class BaseEmbedding:
     def save_embedding(self, output, start_idx):
         """output: [T, N, d] (or [N, d]) → per-timestamp CSV named after the
         snapshot file, node names as the index (embedding.py:79-89)."""
-        arr = np.asarray(output)
+        arr = np.asarray(_fetch(output))
+        if not _is_primary():
+            return
         if arr.ndim == 2:
             arr = arr[None]
         for i in range(arr.shape[0]):

@@ -29,8 +29,25 @@ def stack_graphs(graphs):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
-def _scatter_table(rows, slots, cols, n_nodes, max_deg):
-    return jnp.zeros((n_nodes, max_deg), jnp.int32).at[rows, slots].set(cols)
+def _scatter_table(flat_cols, degrees, nnz, n_nodes, max_deg):
+    """CSR-ish (flat_cols, degrees) → padded [N, max_deg] table, built ON
+    DEVICE.  Row ids and slot offsets are derived here (static-length
+    ``jnp.repeat``) so only the compact column ids cross the slow
+    host↔device link; ``flat_cols`` is bucket-padded (one compiled shape
+    serves many snapshots/windows) and ``nnz`` is a dynamic scalar —
+    padding entries get an out-of-range row and are dropped by the
+    scatter."""
+    cap = flat_cols.shape[0]
+    starts = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),
+        jnp.cumsum(degrees)[:-1].astype(jnp.int32)])
+    rows = jnp.repeat(jnp.arange(n_nodes, dtype=jnp.int32), degrees,
+                      total_repeat_length=cap)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    slots = idx - jnp.repeat(starts, degrees, total_repeat_length=cap)
+    rows = jnp.where(idx < nnz, rows, n_nodes)   # OOB → dropped
+    return jnp.zeros((n_nodes, max_deg), jnp.int32).at[rows, slots].set(
+        flat_cols.astype(jnp.int32), mode="drop")
 
 
 class DataLoader:
@@ -189,7 +206,13 @@ class DataLoader:
                                dense_dtype=dense_dtype,
                                build_plans=build_plans,
                                dense_prec=dense_prec,
-                               build_blocks=build_blocks)
+                               build_blocks=build_blocks,
+                               # ELL path: keep the padded COO on host —
+                               # plans build from host memory and the bank
+                               # is runtime-dead afterwards; shipping it
+                               # both ways through the slow relay link
+                               # cost minutes per AS-scale window
+                               as_numpy=build_ell)
             for mats in per_snap_mats
         ]
         if build_blocks and any(p.blocks is None for p in pyramids):
@@ -210,6 +233,15 @@ class DataLoader:
             from ctgcn_tpu.ops.pyramid import attach_ell_plans
 
             out = attach_ell_plans(out, bf16=dense_dtype == jnp.bfloat16)
+            # the padded [T, K, P] COO bank is runtime-dead once plans
+            # exist (CoreDiffusion's ELL branch reads only ell_fwd/ell_t
+            # + valid) — ship 1-wide placeholders instead of tens of MB
+            T, K = np.asarray(out.valid).shape
+            out = out.replace(
+                rows=jnp.zeros((T, K, 1), jnp.int32),
+                cols=jnp.zeros((T, K, 1), jnp.int32),
+                vals=jnp.zeros((T, K, 1), jnp.float32),
+                valid=jnp.asarray(out.valid))
         return out
 
     @staticmethod
@@ -263,22 +295,22 @@ class DataLoader:
         # Build the padded [N, max_deg] neighbor tables ON DEVICE from the
         # flat CSR-ish coordinates: at AS scale (hub rows co-occur with
         # thousands of nodes) the host-built tables run to hundreds of MB
-        # and the host→device link crawls (~2 MB/s past ~64 MB), while the
-        # flat ids are a few MB and the scatter is nearly free.
+        # and the host→device relay link crawls, while the compact column
+        # ids are a few MB and the scatter is nearly free.  Row/slot ids
+        # are derived on device from the (tiny) degree vector.
+        col_dt = np.int16 if self.node_num < (1 << 15) else np.int32
+        deg_cap = pad_bucket(max_deg, 64)
         for rows in rows_list:
             dg = np.fromiter((len(r) for r in rows), np.int32,
                              count=self.node_num)
-            flat_cols = np.concatenate(
-                [np.asarray(r, np.int32) for r in rows if len(r)]
-            ) if dg.sum() else np.zeros(0, np.int32)
-            starts = np.concatenate([[0], np.cumsum(dg)[:-1]])
-            flat_rows = np.repeat(np.arange(self.node_num, dtype=np.int32),
-                                  dg)
-            slots = (np.arange(dg.sum(), dtype=np.int32)
-                     - np.repeat(starts, dg).astype(np.int32))
+            nnz = int(dg.sum())
+            flat = np.zeros(pad_bucket(nnz, 4096), col_dt)
+            if nnz:
+                flat[:nnz] = np.concatenate(
+                    [np.asarray(r, col_dt) for r in rows if len(r)])
             neighbors_t.append(_scatter_table(
-                jnp.asarray(flat_rows), jnp.asarray(slots),
-                jnp.asarray(flat_cols), self.node_num, max_deg))
+                jnp.asarray(flat), jnp.asarray(dg), nnz,
+                self.node_num, deg_cap)[:, :max_deg])
             degrees_t.append(dg)
 
         return WalkData(

@@ -37,25 +37,26 @@ def _make_rnn(key, rnn_type, input_dim, hidden_dim, bias=True):
     return cls.init(key, input_dim, hidden_dim, bias=bias)
 
 
-#: activation budget steering the multi-snapshot execution strategy.  Below
-#: it, all T snapshots run batched under vmap (best MXU utilization); above
-#: it, snapshots serialize through lax.map with jax.checkpoint so the
-#: backward rematerializes one snapshot's core-diffusion internals at a time
-#: (the reference answers this regime with "use a bigger GPU", README.md:178
-#: — a Facebook-scale window at the reference's own config needs ~27 GB of
-#: activations vs the 16 GB v5e HBM).
-_ACT_BUDGET_BYTES = int(os.environ.get("CTGCN_TPU_ACT_BUDGET", 4 << 30))
-
-#: remat policy for the over-budget path: "full" (default) recomputes
-#: everything in backward — the only footprint that fits a Facebook-scale
-#: window on a 16 GB v5e.  "save_spmm" keeps each snapshot's SpMM outputs
-#: resident and recomputes only the cheap prefix/ReLU/GRU internals —
-#: faster where HBM allows (e.g. v5p/v6e or smaller windows).
-_REMAT_POLICY = os.environ.get("CTGCN_TPU_REMAT_POLICY", "full")
+def _act_budget_bytes():
+    """Activation budget steering the multi-snapshot execution strategy.
+    Below it, all T snapshots run batched under vmap (best MXU
+    utilization); above it, snapshots serialize through lax.map with
+    jax.checkpoint so the backward rematerializes one snapshot's
+    core-diffusion internals at a time (the reference answers this regime
+    with "use a bigger GPU", README.md:178 — a Facebook-scale window at
+    the reference's own config needs ~27 GB of activations vs the 16 GB
+    v5e HBM).  Read at trace time so benches/tests can A/B it."""
+    return int(os.environ.get("CTGCN_TPU_ACT_BUDGET", 4 << 30))
 
 
 def _remat(fn):
-    if _REMAT_POLICY == "save_spmm":
+    """Over-budget remat policy (read at trace time): "full" (default)
+    recomputes everything in backward — the only footprint that fits a
+    Facebook-scale window on a 16 GB v5e.  "save_spmm" keeps each
+    snapshot's SpMM outputs resident and recomputes only the cheap
+    prefix/ReLU/GRU internals — faster where HBM allows (e.g. v5p/v6e or
+    smaller windows)."""
+    if os.environ.get("CTGCN_TPU_REMAT_POLICY", "full") == "save_spmm":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.save_only_these_names(
                 "spmm_out"))
@@ -294,7 +295,7 @@ class CGCN:
         The Pallas-plan path runs the snapshots through ``lax.map`` (a
         hand-DMA'd pallas_call has no vmap batching rule; one big kernel per
         snapshot serializes cleanly).  Windows whose activation footprint
-        exceeds ``_ACT_BUDGET_BYTES`` also serialize, with ``jax.checkpoint``
+        exceeds the activation budget also serialize, with ``jax.checkpoint``
         so the backward holds one snapshot's internals at a time.  The
         blocks backend unrolls over t when the bank is ragged (exact
         per-snapshot shapes — the single-device fast path) and vmaps like
@@ -309,7 +310,7 @@ class CGCN:
                    for t in range(len(pyramids.blocks))]
             return jax.tree.map(lambda *a: jnp.stack(a), *res)
         use_map = pyramids.plan_fwd is not None
-        remat = _window_act_bytes(self.cdn, pyramids) > _ACT_BUDGET_BYTES
+        remat = _window_act_bytes(self.cdn, pyramids) > _act_budget_bytes()
         use_map |= remat
         if xs is None:
             fn = lambda pyr: self.single(None, pyr)
@@ -389,7 +390,7 @@ class CTGCN:
                                  pyramid_at(pyramids, t)))
             return jax.tree.map(lambda *a: jnp.stack(a), *res)
         use_map = pyramids.plan_fwd is not None
-        remat = _window_act_bytes(self.cdns, pyramids) > _ACT_BUDGET_BYTES
+        remat = _window_act_bytes(self.cdns, pyramids) > _act_budget_bytes()
         use_map |= remat
         if remat:
             per_t = _remat(per_t)

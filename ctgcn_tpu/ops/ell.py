@@ -69,10 +69,20 @@ def _row_widths(csr, min_width):
                       2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(int))
 
 
-def _build_buckets(csr, width, spec):
+def _build_buckets(csr, width, spec, compact=False):
     """Pack rows into the given ``spec`` = [(K, nb_alloc), ...] (ascending
-    K; nb_alloc >= rows of that width).  Returns (buckets, inv_perm)."""
+    K; nb_alloc >= rows of that width).  Returns (buckets, inv_perm).
+
+    ``compact`` ships the tables in the narrowest exact dtypes — int16
+    columns when the source fits, uint8 values when every edge weight is
+    0/1 (gathers accept any int dtype; values upcast on device at use).
+    The host↔device link is the binding constraint for window setup at
+    AS scale (~0.3-2 MB/s through the relay), not HBM."""
     R = csr.shape[0]
+    col_dt = np.int16 if (compact and csr.shape[1] < (1 << 15)) else np.int32
+    val_dt = (np.uint8 if (compact and csr.data.size
+                           and np.isin(csr.data, (0.0, 1.0)).all())
+              else np.float32)
     order = np.argsort(width, kind="stable")     # degree-sorted rows
     by_width = {}
     pos = 0
@@ -91,8 +101,8 @@ def _build_buckets(csr, width, spec):
     for K, nb_alloc in spec:
         rows = by_width.get(K, np.zeros(0, np.int64))
         assert len(rows) <= nb_alloc, (K, len(rows), nb_alloc)
-        cols_a = np.zeros((nb_alloc, K), np.int32)
-        vals_a = np.zeros((nb_alloc, K), np.float32)
+        cols_a = np.zeros((nb_alloc, K), col_dt)
+        vals_a = np.zeros((nb_alloc, K), val_dt)
         if len(rows):
             # vectorized CSR-row packing (a python per-row loop is minutes
             # at Facebook scale)
@@ -104,13 +114,15 @@ def _build_buckets(csr, width, spec):
             cols_a.reshape(-1)[dst] = csr.indices[src]
             vals_a.reshape(-1)[dst] = csr.data[src]
         inv_perm[rows] = offset + np.arange(len(rows))
-        buckets.append(EllBucket(cols=jnp.asarray(cols_a),
-                                 vals=jnp.asarray(vals_a)))
+        # numpy leaves: the callers stack across T host-side and ship each
+        # stacked leaf ONCE — per-snapshot jnp.asarray turned window setup
+        # into hundreds of relay round trips at AS scale
+        buckets.append(EllBucket(cols=cols_a, vals=vals_a))
         offset += nb_alloc
     return tuple(buckets), inv_perm
 
 
-def build_ell_plan(mat, min_width=8) -> EllPlan:
+def build_ell_plan(mat, min_width=8, compact=False) -> EllPlan:
     """scipy sparse [R, C] → EllPlan.  Zero-degree rows land in the
     narrowest bucket with all-zero values."""
     csr = mat.tocsr()
@@ -119,8 +131,8 @@ def build_ell_plan(mat, min_width=8) -> EllPlan:
     width = _row_widths(csr, min_width)
     widths = sorted(set(int(w) for w in width))
     spec = [(w, int(np.sum(width == w))) for w in widths]
-    buckets, inv_perm = _build_buckets(csr, width, spec)
-    return EllPlan(buckets=buckets,
+    buckets, inv_perm = _build_buckets(csr, width, spec, compact=compact)
+    return EllPlan(buckets=jax.tree.map(jnp.asarray, buckets),
                    inv_perm=jnp.asarray(inv_perm.astype(np.int32)),
                    n_rows=R, n_cols=C)
 
@@ -189,26 +201,33 @@ ell_spmm.defvjp(_fwd, _bwd)
 
 def _stack_plans(plans):
     """Per-t plans with IDENTICAL bucket specs → one plan whose leaves
-    carry a leading [T] axis (vmap-able over t)."""
+    carry a leading [T] axis (vmap-able over t).  Numpy-leaf plans stack
+    host-side and ship once per stacked leaf (ONE relay transfer each
+    instead of one per snapshot per bucket)."""
+    def stk(xs):
+        if isinstance(xs[0], np.ndarray):
+            return jnp.asarray(np.stack(xs))
+        return jnp.stack(xs)
+
     buckets = tuple(
-        EllBucket(cols=jnp.stack([p.buckets[i].cols for p in plans]),
-                  vals=jnp.stack([p.buckets[i].vals for p in plans]))
+        EllBucket(cols=stk([p.buckets[i].cols for p in plans]),
+                  vals=stk([p.buckets[i].vals for p in plans]))
         for i in range(len(plans[0].buckets)))
     return EllPlan(buckets=buckets,
-                   inv_perm=jnp.stack([p.inv_perm for p in plans]),
+                   inv_perm=stk([np.asarray(p.inv_perm) for p in plans]),
                    n_rows=plans[0].n_rows, n_cols=plans[0].n_cols)
 
 
-def _build_uniform(csrs, min_width):
+def _build_uniform(csrs, min_width, compact=False):
     """One plan per csr with a UNIFIED bucket spec, stacked on [T]."""
     widths = [_row_widths(c, min_width) for c in csrs]
     all_w = sorted({int(w) for ws in widths for w in ws})
     spec = [(w, max(int(np.sum(ws == w)) for ws in widths)) for w in all_w]
     plans = []
     for csr, w in zip(csrs, widths):
-        buckets, inv_perm = _build_buckets(csr, w, spec)
+        buckets, inv_perm = _build_buckets(csr, w, spec, compact=compact)
         plans.append(EllPlan(buckets=buckets,
-                             inv_perm=jnp.asarray(inv_perm.astype(np.int32)),
+                             inv_perm=inv_perm.astype(np.int32),
                              n_rows=csr.shape[0], n_cols=csr.shape[1]))
     return _stack_plans(plans)
 
@@ -259,7 +278,7 @@ def build_ell_ev_plan(rows, cols, nnz_mask, n_rows, n_cols,
     buckets, inv_perm = _build_buckets(csr, width, spec)
     ev_buckets = tuple(
         EllEvBucket(
-            cols=b.cols,
+            cols=jnp.asarray(b.cols),
             eids=jnp.asarray(
                 np.maximum(np.asarray(b.vals).astype(np.int64) - 1, 0)
                 .astype(np.int32)),
@@ -389,5 +408,5 @@ def build_pyramid_ell_plans(stacked_rows, stacked_cols, stacked_vals,
                             shape=(K * n_nodes, n_nodes)).tocsr()
         fwd_csrs.append(mat)
         t_csrs.append(mat.T.tocsr())
-    return (_build_uniform(fwd_csrs, min_width),
-            _build_uniform(t_csrs, min_width))
+    return (_build_uniform(fwd_csrs, min_width, compact=True),
+            _build_uniform(t_csrs, min_width, compact=True))

@@ -89,7 +89,8 @@ class CorePyramid:
 def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
                        add_eye_first=True, drop_empty_delta=True,
                        densify=False, dense_dtype=None, build_plans=False,
-                       dense_prec="highest", build_blocks=False):
+                       dense_prec="highest", build_blocks=False,
+                       as_numpy=False):
     """Build a CorePyramid from scipy matrices ordered max-core-first.
 
     Args:
@@ -101,6 +102,11 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
       add_eye_first: add I to slot 0 (reference helper.py:71-73).
       drop_empty_delta: mark a core invalid when it equals the previous kept
         core (reference helper.py:74-76's delta-skip, as a mask).
+      as_numpy: keep the padded COO leaves as host numpy arrays.  The
+        loader uses this to avoid round-tripping the [T, K, P] bank
+        through the (slow) host↔device link when a derived backend (ELL
+        plans) is about to supersede it — plans then build from host
+        memory and the loader ships only what the model will read.
     """
     import scipy.sparse as sp
 
@@ -145,9 +151,10 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
         vals[k, :nnz] = v
         valid[k] = True
 
-    rows_j = jnp.asarray(rows)
-    cols_j = jnp.asarray(cols)
-    vals_j = jnp.asarray(vals)
+    conv = (lambda a: a) if as_numpy else jnp.asarray
+    rows_j = conv(rows)
+    cols_j = conv(cols)
+    vals_j = conv(vals)
     dense = None
     if densify:
         # Densify ON DEVICE from the (already-shipped) COO: a host-built
@@ -171,7 +178,7 @@ def build_core_pyramid(core_mats, n_nodes, num_slots=None, pad_to=None,
             blocks, perm, inv_perm = built
 
     return CorePyramid(rows=rows_j, cols=cols_j, vals=vals_j,
-                       valid=jnp.asarray(valid), n_nodes=int(n_nodes),
+                       valid=conv(valid), n_nodes=int(n_nodes),
                        dense=dense, plan_fwd=plan_fwd, plan_t=plan_t,
                        dense_prec=dense_prec, blocks=blocks, perm=perm,
                        inv_perm=inv_perm)
@@ -296,7 +303,11 @@ def stack_pyramids(pyramids, uniform_blocks=False):
         inv = jnp.stack([p.inv_perm for p in pyramids])
         pyramids = [p.replace(blocks=None, perm=None, inv_perm=None)
                     for p in pyramids]
-    out = jax.tree.map(lambda *xs: jnp.stack(xs), *pyramids)
+    # numpy leaves (as_numpy pyramids) stay on host — np.stack; device
+    # leaves stack on device
+    out = jax.tree.map(
+        lambda *xs: (np.stack(xs) if isinstance(xs[0], np.ndarray)
+                     else jnp.stack(xs)), *pyramids)
     if blocks is not None:
         out = out.replace(blocks=blocks, perm=perm, inv_perm=inv)
     return out

@@ -543,6 +543,14 @@ def gnn_embedding(method, args):
                            weight_decay, load_model, shuffle, export,
                            seed + widx, mesh)
         time_list.append(cost)
+        if os.environ.get("CTGCN_TPU_MEM_REPORT"):
+            try:  # TPU runtimes expose allocator stats; CPU returns None
+                stats = jax.local_devices()[0].memory_stats() or {}
+                print(f"idx = {idx}: peak_bytes_in_use="
+                      f"{stats.get('peak_bytes_in_use')}, bytes_in_use="
+                      f"{stats.get('bytes_in_use')}")
+            except Exception:
+                pass
 
     if record_time:
         pd.DataFrame({"time": time_list}).to_csv(

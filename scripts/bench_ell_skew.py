@@ -1,0 +1,143 @@
+# coding: utf-8
+"""ELL SpMM under the reference's extreme degree/core skews (VERDICT r2
+weak #6): AS-style hub rows (max degree ~1458, reference README.md:171)
+and Enron-style deep pyramids (max core 22, N=87036, README.md:174).
+
+Measures, per case, the padded-slot overhead of the power-of-two
+degree buckets (claimed bound: 2x, ops/ell.py:27-29) and the on-chip
+f32/bf16 ELL SpMM throughput vs the gather+segment fallback on the
+flattened [K·N, N] pyramid matrix.  Writes data/bench_ell_skew.json.
+
+Run on the real chip: timeout 560 python scripts/bench_ell_skew.py
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def hub_powerlaw_graph(n, avg_deg, hub_deg, seed=0, alpha=2.2):
+    """Power-law graph with the top node's degree pushed to ``hub_deg``
+    (the AS tier-1 hub regime)."""
+    from scripts.bench_spmm_backends import powerlaw_graph
+
+    mat = powerlaw_graph(n, avg_deg, seed=seed, alpha=alpha).tolil()
+    rng = np.random.RandomState(seed + 1)
+    deg = np.asarray(mat.sum(axis=1)).ravel()
+    hub = int(np.argmax(deg))
+    need = int(hub_deg - deg[hub])
+    if need > 0:
+        partners = rng.choice(n, size=2 * need, replace=False)
+        partners = partners[partners != hub][:need]
+        for v in partners:
+            mat[hub, v] = 1.0
+            mat[v, hub] = 1.0
+    return mat.tocsr()
+
+
+def build_pyramid(mat, max_core):
+    from ctgcn_tpu.preprocessing.kcore import core_numbers
+
+    cn = np.minimum(core_numbers(mat), max_core)
+    mats = []
+    for k in range(int(cn.max()), 0, -1):
+        keep = (cn >= k).astype(np.float32)
+        mats.append(mat.multiply(keep[:, None]).multiply(
+            keep[None, :]).tocsr())
+    return mats
+
+
+def bench_case(name, mat, max_core, d, iters, results):
+    import jax
+    import jax.numpy as jnp
+
+    from ctgcn_tpu.ops.pyramid import (attach_ell_plans, build_core_pyramid,
+                                       stack_pyramids)
+    from ctgcn_tpu.utils import pad_bucket
+
+    deg = np.asarray(mat.sum(axis=1)).ravel()
+    mats = build_pyramid(mat, max_core)
+    K = len(mats)
+    nnz = sum(int(m.nnz) for m in mats)
+    cap = pad_bucket(max(m.nnz + (mat.shape[0] if j == 0 else 0)
+                         for j, m in enumerate(mats)))
+    stacked = stack_pyramids([
+        build_core_pyramid(mats, mat.shape[0], num_slots=K, pad_to=cap)])
+    case = {"n": int(mat.shape[0]), "max_degree": int(deg.max()),
+            "num_slots": K, "pyramid_nnz": nnz}
+    print(f"{name}: N={case['n']} max_deg={case['max_degree']} K={K} "
+          f"pyramid nnz={nnz}", flush=True)
+
+    x = jax.random.normal(jax.random.key(0), (mat.shape[0], d))
+
+    def run(tag, pyr):
+        from ctgcn_tpu.nn.core_models import CoreDiffusion
+
+        layer = CoreDiffusion.init(jax.random.key(1), d, d)
+        fn = jax.jit(lambda p, xx: layer(xx, p))
+        pyr1 = jax.tree.map(
+            lambda l: l[0] if hasattr(l, "ndim") and l.ndim and l.shape
+            and l.shape[0] == 1 else l, pyr)
+        out = fn(pyr1, x)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(pyr1, x)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        eps = nnz / dt
+        case[tag] = {"layer_ms": round(dt * 1e3, 3),
+                     "edges_per_s": round(eps, 1)}
+        print(f"  {tag:10s}: {dt * 1e3:8.2f} ms  {eps / 1e6:8.1f} M edges/s",
+              flush=True)
+
+    ell = attach_ell_plans(stacked)
+    padded = ell.ell_fwd.padded_nnz
+    # stacked plan leaves carry [T=1]; padded_nnz counts the stacked tables
+    case["ell_padded_nnz"] = int(padded)
+    case["ell_pad_overhead"] = round(padded / max(nnz, 1), 3)
+    print(f"  padded-slot overhead: {case['ell_pad_overhead']}x "
+          f"(bound claimed: 2x)", flush=True)
+
+    run("segment", stacked)
+    run("ell_f32", ell)
+    run("ell_bf16", attach_ell_plans(stacked, bf16=True))
+    results[name] = case
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    from ctgcn_tpu.main import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    iters = 3 if args.quick else 10
+    d = 128
+    results = {"feature_dim": d}
+    # AS skew: one ~1458-degree hub over a 6828-node power-law snapshot
+    bench_case("as_hub_skew",
+               hub_powerlaw_graph(6828, 6, 1458, seed=0), 13, d, iters,
+               results)
+    # Enron skew: N=87036, deep pyramid (max core 22), hub ~1150
+    bench_case("enron_deep_core",
+               hub_powerlaw_graph(87036, 12, 1150, seed=1, alpha=2.0), 22,
+               d, iters, results)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "bench_ell_skew.json")
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ def main():
     # hierarchy (max core ~72) than the real Facebook graph (max core 9,
     # reference README.md:173); cap the pyramid at the realistic depth
     ap.add_argument("--max_core", type=int, default=9)
+    ap.add_argument("--profile", type=str, default=None,
+                    help="capture a jax.profiler trace of the steady-state "
+                         "ELL steps into this directory")
     args = ap.parse_args()
 
     import jax
@@ -83,9 +86,13 @@ def main():
     iters = 5 if args.quick else 15
 
     results = {}
-    for tag, pyr in (("ell", attach_ell_plans(stacked)),
-                     ("ell_bf16", attach_ell_plans(stacked, bf16=True)),
-                     ("segment", stacked)):
+    ell = attach_ell_plans(stacked)
+    variants = (("ell", ell, "full"),
+                ("ell_save_spmm", ell, "save_spmm"),
+                ("ell_bf16", attach_ell_plans(stacked, bf16=True), "full"),
+                ("segment", stacked, "full"))
+    for tag, pyr, remat_policy in variants:
+        os.environ["CTGCN_TPU_REMAT_POLICY"] = remat_policy
         opt_state = optimizer.init(model)
 
         def loss_fn(m, pyr):
@@ -117,11 +124,17 @@ def main():
             print(f"{tag:8s}: FAILED ({msg[:80]}...)")
             continue
         compile_s = time.time() - t0
+        profiling = args.profile and tag == "ell"
+        if profiling:
+            jax.profiler.start_trace(args.profile)
         t0 = time.time()
         for _ in range(iters):
             m2, opt_state, loss = step(m2, opt_state, pyr)
         jax.block_until_ready(loss)
         dt = (time.time() - t0) / iters
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile}")
         # edges/s over the 2 diffusion layers, fwd + bwd dX (3x convention
         # matches bench.py)
         eps = total_nnz * 2 * 3 / dt

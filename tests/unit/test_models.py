@@ -434,7 +434,7 @@ def test_remat_map_path_matches_vmap(pyramids, monkeypatch):
 
     base = jax.jit(lambda m, p: m(None, p))(model, pyr)
     gbase = jax.jit(jax.grad(loss))(model, pyr)
-    monkeypatch.setattr(CM, "_ACT_BUDGET_BYTES", 1)  # force map + remat
+    monkeypatch.setenv("CTGCN_TPU_ACT_BUDGET", "1")  # force map + remat
     rem = jax.jit(lambda m, p: m(None, p))(model, pyr)
     grem = jax.jit(jax.grad(loss))(model, pyr)
     np.testing.assert_allclose(np.asarray(base), np.asarray(rem),

@@ -22,9 +22,15 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def hub_powerlaw_graph(n, avg_deg, hub_deg, seed=0, alpha=2.2):
+def hub_powerlaw_graph(n, avg_deg, hub_deg, seed=0, alpha=2.2,
+                       core_group=0, core_deg=0):
     """Power-law graph with the top node's degree pushed to ``hub_deg``
-    (the AS tier-1 hub regime)."""
+    (the AS tier-1 hub regime); optionally densify a ``core_group``-node
+    community with ~``core_deg`` internal neighbors each to drive the max
+    k-core to Enron-like depth (its 87k-node graph has max core 22,
+    reference README.md:174)."""
+    import scipy.sparse as sp
+
     from scripts.bench_spmm_backends import powerlaw_graph
 
     mat = powerlaw_graph(n, avg_deg, seed=seed, alpha=alpha).tolil()
@@ -38,6 +44,17 @@ def hub_powerlaw_graph(n, avg_deg, hub_deg, seed=0, alpha=2.2):
         for v in partners:
             mat[hub, v] = 1.0
             mat[v, hub] = 1.0
+    if core_group and core_deg:
+        group = rng.choice(n, size=core_group, replace=False)
+        m = core_group * core_deg // 2
+        u = group[rng.randint(0, core_group, size=2 * m)]
+        v = group[rng.randint(0, core_group, size=2 * m)]
+        keep = u != v
+        extra = sp.coo_matrix(
+            (np.ones(keep.sum(), np.float32),
+             (u[keep], v[keep])), shape=(n, n))
+        mat = (mat.tocsr() + extra + extra.T).tocsr()
+        mat.data[:] = 1.0
     return mat.tocsr()
 
 
@@ -98,8 +115,10 @@ def bench_case(name, mat, max_core, d, iters, results):
               flush=True)
 
     ell = attach_ell_plans(stacked)
-    padded = ell.ell_fwd.padded_nnz
-    # stacked plan leaves carry [T=1]; padded_nnz counts the stacked tables
+    # stacked plan leaves carry a leading [T] axis — measure one snapshot's
+    # table slots (shape[-2] x shape[-1]), not shape[0] x shape[1]
+    padded = sum(int(np.prod(b.cols.shape[-2:]))
+                 for b in ell.ell_fwd.buckets)
     case["ell_padded_nnz"] = int(padded)
     case["ell_pad_overhead"] = round(padded / max(nnz, 1), 3)
     print(f"  padded-slot overhead: {case['ell_pad_overhead']}x "
@@ -128,8 +147,12 @@ def main():
                hub_powerlaw_graph(6828, 6, 1458, seed=0), 13, d, iters,
                results)
     # Enron skew: N=87036, deep pyramid (max core 22), hub ~1150
+    # (alpha=3.0 keeps the NATURAL max degree under the hub target so the
+    # boosted hub, not the tail, sets the skew — alpha=2.0 gave a 21k-deg
+    # natural hub, far beyond Enron's 1150)
     bench_case("enron_deep_core",
-               hub_powerlaw_graph(87036, 12, 1150, seed=1, alpha=2.0), 22,
+               hub_powerlaw_graph(87036, 12, 1150, seed=1, alpha=3.0,
+                                  core_group=800, core_deg=30), 22,
                d, iters, results)
 
     out = os.path.join(os.path.dirname(os.path.dirname(

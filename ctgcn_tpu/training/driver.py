@@ -544,11 +544,14 @@ def gnn_embedding(method, args):
                            seed + widx, mesh)
         time_list.append(cost)
         if os.environ.get("CTGCN_TPU_MEM_REPORT"):
-            try:  # TPU runtimes expose allocator stats; CPU returns None
+            try:
                 stats = jax.local_devices()[0].memory_stats() or {}
-                print(f"idx = {idx}: peak_bytes_in_use="
-                      f"{stats.get('peak_bytes_in_use')}, bytes_in_use="
-                      f"{stats.get('bytes_in_use')}")
+                peak = stats.get("peak_bytes_in_use")
+                if peak is None:  # axon relay exposes no allocator stats —
+                    # report live client-tracked buffers instead
+                    peak = f"live_buffers={sum(x.nbytes for x in jax.live_arrays()) >> 20} MiB"
+                print(f"idx = {idx}: peak_bytes_in_use={peak}, "
+                      f"bytes_in_use={stats.get('bytes_in_use')}")
             except Exception:
                 pass
 

@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--n-list", type=str, default="4096,8192,16384,32768",
+                    help="comma-separated N cells to (re)run; results merge "
+                         "into the existing JSON")
     args = ap.parse_args()
 
     import jax
@@ -45,9 +48,14 @@ def main():
 
     iters = 3 if args.quick else 10
     d = args.d
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "bench_bsr_crossover.json")
     results = {"feature_dim": d, "avg_deg": 20, "max_core_cap": 9,
                "cells": {}}
-    for N in (4096, 8192, 16384, 32768):
+    if os.path.exists(out_path):
+        with open(out_path) as fp:
+            results = json.load(fp)
+    for N in [int(s) for s in args.n_list.split(",")]:
         mat = powerlaw_graph(N, 20, seed=N)
         cn = np.minimum(core_numbers(mat), 9)
         mats = []
@@ -73,10 +81,17 @@ def main():
 
         variants = [("blocks", dict(build_blocks=True)),
                     ("ell_f32", dict()),
-                    ("segment", dict()),
-                    ("pallas_bsr", dict(build_plans=True))]
+                    ("segment", dict())]
         if dense_gb <= 6.0:
             variants.insert(1, ("dense", dict(densify=True)))
+        if N <= 8192:
+            variants.append(("pallas_bsr", dict(build_plans=True)))
+        else:
+            cell["pallas_bsr"] = {
+                "skipped": "BSR 128x128 block bank degenerates at this "
+                           "sparsity (fill <<1%) and its Mosaic compile "
+                           "runs >10 min — already out of contention at "
+                           "N=4096/8192"}
 
         x = jax.random.normal(jax.random.key(0), (N, d))
         layer = CoreDiffusion.init(jax.random.key(1), d, d)
@@ -103,16 +118,33 @@ def main():
             except Exception as e:
                 cell[tag] = {"failed": str(e)[:160]}
                 print(f"  {tag:10s}: FAILED {str(e)[:80]}", flush=True)
-        timed = {k: v["layer_ms"] for k, v in cell.items()
-                 if isinstance(v, dict) and "layer_ms" in v}
+            finally:
+                # free this variant's banks before the next one — stale
+                # dense/BSR banks from earlier cells otherwise accumulate
+                # to an HBM OOM by N=16384
+                import gc
+
+                pyr = pyr1 = out = fn = None
+                gc.collect()
+                jax.clear_caches()
+        # sanity-gate: readings faster than the HBM time to stream the
+        # gathered [nnz, d] product once are relay-dispatch anomalies,
+        # not kernels (observed once: a "0.08 ms" BSR cell)
+        floor_ms = nnz * d * 4 / 819e9 * 1e3
+        timed = {}
+        for k, v in cell.items():
+            if isinstance(v, dict) and "layer_ms" in v:
+                if v["layer_ms"] < floor_ms:
+                    v["anomaly"] = ("below single-stream HBM floor — relay "
+                                    "measurement artifact, excluded")
+                else:
+                    timed[k] = v["layer_ms"]
         cell["winner"] = min(timed, key=timed.get) if timed else None
         results["cells"][f"N={N}"] = cell
+        with open(out_path, "w") as fp:
+            json.dump(results, fp, indent=1)
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data", "bench_bsr_crossover.json")
-    with open(out, "w") as fp:
-        json.dump(results, fp, indent=1)
-    print("wrote", out)
+    print("wrote", out_path)
     print("winners:", {k: v["winner"] for k, v in results["cells"].items()})
 
 

@@ -152,7 +152,11 @@ class DataLoader:
             128x128-block bank degenerates: 0.03% fill, 14 GB, see
             data/bench_spmm_backends.json).
           * ``"dense"`` / ``"ell"`` / ``"pallas"`` / ``"segment"``: force
-            one path (``"pallas"`` = BSR block kernel)."""
+            one path.  ``"pallas"`` (the BSR block kernel) is DEPRECATED:
+            the on-chip crossover sweep (data/bench_bsr_crossover.json)
+            shows it winning no cell at any N — blocks beat it wherever
+            the bank fits and ELL beyond — so auto never selects it; the
+            knob remains for reproducing the sweep."""
         date_dirs = sorted_dir(core_base_path)
         assert start_idx < len(date_dirs)
         window = list(self._window(start_idx, duration))

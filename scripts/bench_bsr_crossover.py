@@ -124,9 +124,11 @@ def main():
                 # to an HBM OOM by N=16384
                 import gc
 
+                # dropping the array refs + the jit wrapper frees this
+                # variant's HBM; do NOT jax.clear_caches() — re-loading
+                # every executable through the relay costs ~8 min/variant
                 pyr = pyr1 = out = fn = None
                 gc.collect()
-                jax.clear_caches()
         # sanity-gate: readings faster than the HBM time to stream the
         # gathered [nnz, d] product once are relay-dispatch anomalies,
         # not kernels (observed once: a "0.08 ms" BSR cell)

@@ -204,9 +204,19 @@ class CoreDiffusion:
         # v5e); the matmul form stays in the dot pipeline's layout.  K <= 16
         # so the extra K^2 N d FLOPs are noise at any graph scale.
         lower = jnp.tril(jnp.ones((K, K), jnp.float32))
+        if pyramid.ell_fwd is not None and pyramid.ell_delta:
+            # delta-encoded slots: contribs[k] = Δ_k @ x, so slot products
+            # are A_j @ x = Σ_{i≤j} Δ_i @ x and the masked prefix becomes
+            # acc_k = Σ_{j≤k} A_j @ x = (L·L) @ contribs (exact — L entries
+            # are small ints); the +I the bank baked into slot 0 comes back
+            # as "+ x" on every prefix row (L[k,0] = 1 ∀k)
+            lower = jnp.matmul(lower, lower,
+                               precision=jax.lax.Precision.HIGHEST)
         acc = jax.lax.dot_general(
             lower, contribs, dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
+        if pyramid.ell_fwd is not None and pyramid.ell_delta:
+            acc = acc + x.astype(jnp.float32)[None]
         hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
         # hx: [K, N, in]; RNN over the core axis with packed-seq masking
         outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)

@@ -64,9 +64,15 @@ class EllPlan:
 
 
 def _row_widths(csr, min_width):
+    """Power-of-two bucket width per row; zero-degree rows get width 0 (a
+    gather-free all-zeros bucket).  The flattened [K·N, N] core-pyramid
+    matrices are MOSTLY empty rows (a core slot touches n_k << N nodes);
+    padding those to min_width cost 8·K·N pure-padding gather slots —
+    more than the real nnz at Facebook scale."""
     deg = np.diff(csr.indptr)
-    return np.maximum(min_width,
-                      2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(int))
+    w = np.maximum(min_width,
+                   2 ** np.ceil(np.log2(np.maximum(deg, 1))).astype(int))
+    return np.where(deg == 0, 0, w)
 
 
 def _build_buckets(csr, width, spec, compact=False):
@@ -154,6 +160,8 @@ _ELL_CHUNK_ELEMS = int(os.environ.get("CTGCN_TPU_ELL_CHUNK_ELEMS", 256 << 20))
 def _bucket_apply(cols, vals, xs):
     nb, K = cols.shape
     d = xs.shape[1]
+    if K == 0:  # zero-degree rows: no gather, exact zeros
+        return jnp.zeros((nb, d), jnp.float32)
     if nb * K * d <= _ELL_CHUNK_ELEMS:
         g = xs[cols] * vals[:, :, None]              # [nb, K, d]
         return jnp.sum(g.astype(jnp.float32), axis=1)
@@ -348,6 +356,9 @@ def build_window_ell_ev_plans(rows, cols, nnz_masks, n_rows, n_cols,
 def _ell_ev_apply(plan: EllEvPlan, vals, x):
     outs = []
     for b in plan.buckets:
+        if b.cols.shape[1] == 0:
+            outs.append(jnp.zeros((b.cols.shape[0], x.shape[1]), x.dtype))
+            continue
         v = vals[b.eids] * b.mask                    # [nb, K]
         g = x[b.cols] * v[:, :, None]                # [nb, K, d]
         outs.append(jnp.sum(g, axis=1))
@@ -379,7 +390,7 @@ ell_spmm_ev.defvjp(_ev_fwd, _ev_bwd)
 
 
 def build_pyramid_ell_plans(stacked_rows, stacked_cols, stacked_vals,
-                            valid, n_nodes, min_width=8):
+                            valid, n_nodes, min_width=8, delta=False):
     """Core-pyramid [T, K, P] COO slots → stacked per-t ELL plan pair.
 
     Each snapshot's K slots flatten to one block-diagonal [K·N, N] matrix
@@ -389,6 +400,20 @@ def build_pyramid_ell_plans(stacked_rows, stacked_cols, stacked_vals,
     leaves carry a leading [T] axis and ``jax.vmap`` runs the whole window.
     Invalid (delta-skip) slots contribute zero rows.  Returns
     (fwd [T, K·N, N], transpose [T, N, K·N]) stacked plans.
+
+    ``delta=True`` exploits k-core nesting for an exact traffic cut: slot
+    supports nest max-core-first (A_0 ⊆ A_1 ⊆ … over kept slots) and carry
+    the ORIGINAL edge weights (preprocessing/kcore.py:83-88 induces raw
+    subgraphs, no per-slot normalization), so slot k's product decomposes
+    as A_k @ x = Σ_{j≤k} Δ_j @ x with Δ_0 = A_0 (minus the baked +I) and
+    Δ_j = A_j − A_{j-1} edge-disjoint.  The plan then gathers each edge
+    ONCE (at its first/deepest slot) instead of once per containing slot —
+    total gather traffic drops from Σ_k nnz(A_k) to nnz(A_full), the slot
+    multiplicity factor (~4-8× at AS/Facebook skew).  CoreDiffusion
+    reconstructs every per-slot prefix with a tiny K×K triangular matmul
+    and re-adds the identity as "+ x" (see nn/core_models.py).  Requires
+    validity to be a prefix mask (build_core_pyramid compacts kept slots,
+    so it always is).
     """
     import scipy.sparse as sp
 
@@ -396,14 +421,43 @@ def build_pyramid_ell_plans(stacked_rows, stacked_cols, stacked_vals,
     rows = np.asarray(stacked_rows).astype(np.int64)
     cols = np.asarray(stacked_cols).astype(np.int64)
     vals = np.asarray(stacked_vals).astype(np.float64)
-    val_mask = (vals != 0) & np.asarray(valid)[:, :, None]
+    valid = np.asarray(valid)
+    val_mask = (vals != 0) & valid[:, :, None]
     off = (np.arange(K) * n_nodes).reshape(K, 1)
     fwd_csrs, t_csrs = [], []
     for t in range(T):
-        m = val_mask[t]
-        flat_r = (rows[t] + off)[m]
-        flat_c = cols[t][m]
-        flat_v = vals[t][m]
+        if delta:
+            n_kept = int(valid[t].sum())
+            assert valid[t, :n_kept].all(), "delta plans need prefix validity"
+            prev = None
+            parts_r, parts_c, parts_v = [], [], []
+            for k in range(n_kept):
+                m = val_mask[t, k]
+                cur = sp.coo_matrix(
+                    (vals[t, k][m], (rows[t, k][m], cols[t, k][m])),
+                    shape=(n_nodes, n_nodes)).tocsr()
+                if k == 0:
+                    # bank slot 0 carries the reference's +I
+                    # (helper.py:71-73); the delta path re-adds it as "+ x"
+                    cur = cur - sp.eye(n_nodes, format="csr")
+                    cur.eliminate_zeros()
+                    d = cur
+                else:
+                    d = cur - prev
+                    d.eliminate_zeros()
+                prev = cur
+                dcoo = d.tocoo()
+                parts_r.append(dcoo.row + k * n_nodes)
+                parts_c.append(dcoo.col)
+                parts_v.append(dcoo.data)
+            flat_r = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
+            flat_c = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
+            flat_v = np.concatenate(parts_v) if parts_v else np.zeros(0)
+        else:
+            m = val_mask[t]
+            flat_r = (rows[t] + off)[m]
+            flat_c = cols[t][m]
+            flat_v = vals[t][m]
         mat = sp.coo_matrix((flat_v, (flat_r, flat_c)),
                             shape=(K * n_nodes, n_nodes)).tocsr()
         fwd_csrs.append(mat)

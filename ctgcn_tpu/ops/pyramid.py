@@ -55,6 +55,10 @@ class CorePyramid:
     # bf16 ELL gathers (matmul_precision config); static so it can steer
     # tracing.
     ell_bf16: bool = struct.field(pytree_node=False, default=False)
+    # Delta-encoded ELL plans: slots hold Δ_k = A_k − A_{k-1} (k-core
+    # nesting makes this exact — ops/ell.build_pyramid_ell_plans), the
+    # model reconstructs prefixes with a K×K matmul and "+ x" for the +I.
+    ell_delta: bool = struct.field(pytree_node=False, default=False)
     # Dense-bank MXU precision for an f32 bank: "highest" (bf16_6x — bit-
     # level f32 parity, the default) or "high" (bf16_3x — ~1.75x faster
     # with ~3.5e-6 mean rel err on the UCI bank; measured on v5e, see
@@ -329,13 +333,21 @@ def pyramid_at(stacked: CorePyramid, t: int) -> CorePyramid:
     return one
 
 
-def attach_ell_plans(stacked: CorePyramid, bf16=False, min_width=8):
+def attach_ell_plans(stacked: CorePyramid, bf16=False, min_width=8,
+                     delta=True):
     """Attach window-level degree-bucketed ELL plans (ops/ell.py) to a
     stacked [T, K, P] pyramid — the scatter-free SpMM backend for the very
-    sparse regime.  Leaves carry a leading [T] axis; vmap slices them."""
+    sparse regime.  Leaves carry a leading [T] axis; vmap slices them.
+
+    ``delta`` (default): delta-encode the nested core slots so each edge
+    is gathered once instead of once per containing slot — exact numerics
+    up to f32 reassociation, a ~slot-multiplicity× traffic cut (see
+    ops/ell.build_pyramid_ell_plans)."""
     from ctgcn_tpu.ops.ell import build_pyramid_ell_plans
 
     fwd, t = build_pyramid_ell_plans(stacked.rows, stacked.cols,
                                      stacked.vals, stacked.valid,
-                                     stacked.n_nodes, min_width=min_width)
-    return stacked.replace(ell_fwd=fwd, ell_t=t, ell_bf16=bf16)
+                                     stacked.n_nodes, min_width=min_width,
+                                     delta=delta)
+    return stacked.replace(ell_fwd=fwd, ell_t=t, ell_bf16=bf16,
+                           ell_delta=delta)

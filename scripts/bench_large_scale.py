@@ -87,9 +87,11 @@ def main():
 
     results = {}
     ell = attach_ell_plans(stacked)
-    variants = (("ell", ell, "full"),
+    variants = (("ell", ell, "full"),   # delta-encoded (the default)
                 ("ell_save_spmm", ell, "save_spmm"),
                 ("ell_bf16", attach_ell_plans(stacked, bf16=True), "full"),
+                ("ell_fullslot", attach_ell_plans(stacked, delta=False),
+                 "full"),
                 ("segment", stacked, "full"))
     for tag, pyr, remat_policy in variants:
         os.environ["CTGCN_TPU_REMAT_POLICY"] = remat_policy

@@ -105,6 +105,66 @@ def test_ctgcn_ell_backend_matches_segment(rng):
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_ctgcn_ell_delta_matches_fullslot(rng):
+    """Delta-encoded pyramid plans (gather each edge once, K×K prefix
+    reconstruction + '+x') == full-slot plans, on a WEIGHTED graph with a
+    trailing invalid slot.  Exactness rests on k-core nesting with raw
+    inherited edge weights (preprocessing/kcore.py:83-88)."""
+    from ctgcn_tpu.nn.core_models import CTGCN
+    from ctgcn_tpu.ops.pyramid import (build_core_pyramid, stack_pyramids,
+                                       attach_ell_plans)
+
+    N, T = 28, 2
+    pyrs = []
+    for _ in range(T):
+        d = (rng.rand(N, N) < 0.3) * rng.rand(N, N).astype(np.float32)
+        d = np.triu(d, 1); d = d + d.T
+        A = sp.csr_matrix(d)
+        deg = np.asarray((A != 0).sum(1)).flatten()
+        mats = []
+        for k in [3, 2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                A.multiply(keep[:, None]).multiply(keep[None, :])))
+        pyrs.append(build_core_pyramid(mats, N, num_slots=4, pad_to=1024))
+    stacked = stack_pyramids(pyrs)
+    full = attach_ell_plans(stacked, delta=False)
+    delta = attach_ell_plans(stacked, delta=True)
+    # the delta fwd plan must be materially smaller than the full-slot one
+    slots = lambda p: sum(int(np.prod(np.asarray(b.cols).shape))
+                          for b in p.ell_fwd.buckets)
+    assert slots(delta) < slots(full)
+
+    model = CTGCN.init(jax.random.key(1), input_dim=N, hidden_dim=10,
+                       output_dim=6, trans_num=1, diffusion_num=2, duration=T)
+    out_full = jax.jit(lambda m, p: m(None, p))(model, full)
+    out_delta = jax.jit(lambda m, p: m(None, p))(model, delta)
+    np.testing.assert_allclose(np.asarray(out_delta), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-5)
+
+    g_full = jax.grad(lambda m: jnp.sum(jnp.tanh(m(None, full))))(model)
+    g_delta = jax.grad(lambda m: jnp.sum(jnp.tanh(m(None, delta))))(model)
+    for a, b in zip(jax.tree.leaves(g_delta), jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_ell_zero_width_bucket(rng):
+    """Zero-degree rows get a gather-free width-0 bucket: exact zeros in
+    the output, no padded gather slots charged for them."""
+    n, m = 120, 60
+    A = _powerlaw(rng, n=n, m=m)
+    zero_rows = np.asarray((A != 0).sum(1)).flatten() == 0
+    assert zero_rows.any()  # _powerlaw plants isolated rows
+    fwd, t = build_ell_plans(A)
+    assert any(b.cols.shape[1] == 0 for b in fwd.buckets)
+    assert fwd.padded_nnz <= 2 * A.nnz + 8  # no min-width charge on empties
+    x = jnp.asarray(rng.randn(m, 5).astype(np.float32))
+    out = np.asarray(ell_spmm(fwd, t, x))
+    np.testing.assert_allclose(out, A @ np.asarray(x), rtol=1e-5, atol=1e-5)
+    assert (out[zero_rows] == 0).all()
+
+
 def test_spmm_prefers_attached_ell_plans(rng):
     """SparseGraph with ELL plans routes spmm/spmm_t through them."""
     from ctgcn_tpu.ops.sparse import from_scipy

@@ -82,6 +82,9 @@ def main():
                        output_dim=out_dim, trans_num=1, diffusion_num=2,
                        duration=T)
     optimizer = make_optimizer(1e-3, weight_decay=5e-4)
+    # threaded through jit args — closing over a device array bakes a
+    # 94 MB HLO constant AND flips the relay into degraded per-call
+    # dispatch for the rest of the process (CLAUDE.md)
     target = jax.random.normal(jax.random.key(1), (T, N, out_dim))
     iters = 5 if args.quick else 15
 
@@ -97,7 +100,7 @@ def main():
         os.environ["CTGCN_TPU_REMAT_POLICY"] = remat_policy
         opt_state = optimizer.init(model)
 
-        def loss_fn(m, pyr):
+        def loss_fn(m, pyr, target):
             embs = m(None, pyr)
             return jnp.mean((embs - target) ** 2)
 
@@ -105,8 +108,8 @@ def main():
         # (mlps [T, N, hid]) plus Adam moments are ~GBs; without donation
         # the old and new pytrees coexist and T=5 blows HBM at arg alloc
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(m, opt_state, pyr):
-            loss, grads = jax.value_and_grad(loss_fn)(m, pyr)
+        def step(m, opt_state, pyr, target):
+            loss, grads = jax.value_and_grad(loss_fn)(m, pyr, target)
             updates, opt_state = optimizer.update(grads, opt_state, m)
             return optax.apply_updates(m, updates), opt_state, loss
 
@@ -114,7 +117,7 @@ def main():
         # fresh param copy per backend: step donates its inputs
         m2 = jax.tree.map(jnp.array, model)
         try:
-            m2, opt_state, loss = step(m2, opt_state, pyr)
+            m2, opt_state, loss = step(m2, opt_state, pyr, target)
             jax.block_until_ready(loss)
         except Exception as e:  # HBM OOM: record honestly, keep going
             text = re.sub(r"\x1b\[[0-9;]*m", "", str(e))
@@ -131,7 +134,7 @@ def main():
             jax.profiler.start_trace(args.profile)
         t0 = time.time()
         for _ in range(iters):
-            m2, opt_state, loss = step(m2, opt_state, pyr)
+            m2, opt_state, loss = step(m2, opt_state, pyr, target)
         jax.block_until_ready(loss)
         dt = (time.time() - t0) / iters
         if profiling:

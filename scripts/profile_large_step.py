@@ -112,15 +112,17 @@ def main():
     def model_fwd(model, pyr):
         return model(None, pyr)
 
-    def loss_fn(m, pyr):
+    # target threaded through jit args — a closed-over device array bakes
+    # an HLO constant and degrades relay dispatch (CLAUDE.md)
+    def loss_fn(m, pyr, target):
         return jnp.mean((m(None, pyr) - target) ** 2)
 
-    def loss_grad(model, pyr):
-        return jax.value_and_grad(loss_fn)(model, pyr)
+    def loss_grad(model, pyr, target):
+        return jax.value_and_grad(loss_fn)(model, pyr, target)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(m, opt_state, pyr):
-        loss, grads = jax.value_and_grad(loss_fn)(m, pyr)
+    def train_step(m, opt_state, pyr, target):
+        loss, grads = jax.value_and_grad(loss_fn)(m, pyr, target)
         updates, opt_state = optimizer.update(grads, opt_state, m)
         return optax.apply_updates(m, updates), opt_state, loss
 
@@ -143,14 +145,14 @@ def main():
     run("spmm_fwd", jax.jit(spmm_fwd), pyr, x)
     run("diffusion_fwd", jax.jit(diffusion_fwd), model, pyr, x)
     run("model_fwd", jax.jit(model_fwd), model, pyr)
-    run("loss_grad", jax.jit(loss_grad), model, pyr)
+    run("loss_grad", jax.jit(loss_grad), model, pyr, target)
     m2 = jax.tree.map(jnp.array, model)
-    out = train_step(m2, opt_state, pyr)
+    out = train_step(m2, opt_state, pyr, target)
     jax.block_until_ready(out[2])
     m2, opt_state, _ = out
     t0 = time.time()
     for _ in range(iters):
-        m2, opt_state, loss = train_step(m2, opt_state, pyr)
+        m2, opt_state, loss = train_step(m2, opt_state, pyr, target)
     jax.block_until_ready(loss)
     results["train_step"] = round((time.time() - t0) / iters * 1e3, 2)
     print(f"{'train_step':14s}: {results['train_step']:9.1f} ms", flush=True)

@@ -15,6 +15,7 @@ with per-step ``jax.random.choice(replace=False)``.
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -227,6 +228,77 @@ def dyngem_loss(model, xi_pred, xi, pen_i, deg_i, xj_pred, xj, pen_j, deg_j,
 # trainer + driver (reference dynAE.py:252-425)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _multi_epoch_fn(method, look_back, element_num, batch_size, batch_num,
+                    alpha, beta, nu1, nu2, lr, weight_decay):
+    """Module-level cached jitted multi-epoch step.
+
+    One jit object per (method, hyperparams) reused across the window
+    loop: window data is threaded through ARGUMENTS (a closed-over dense
+    window is a ~745 MB HLO constant at AS scale and flips the relay into
+    degraded dispatch — CLAUDE.md), and identical shapes hit the
+    in-process trace cache so only the first window compiles.  Scans a
+    chunk of epochs per dispatch (the per-epoch dispatch + loss pull cost
+    ~0.1-0.5 s each through the relay)."""
+    optimizer = make_optimizer(lr, weight_decay)
+
+    def batch_loss(m, data, b_idx):
+        if method == "DynGEM":
+            graph, rows, cols, values = data
+            xi = graph[rows[b_idx]]
+            xj = graph[cols[b_idx]]
+            pen_i = jnp.where(xi != 0, beta, 1.0)
+            pen_j = jnp.where(xj != 0, beta, 1.0)
+            deg_i = jnp.sum(xi, axis=1)
+            deg_j = jnp.sum(xj, axis=1)
+            hx_i, xi_pred = m(xi)
+            hx_j, xj_pred = m(xj)
+            return dyngem_loss(m, xi_pred, xi, pen_i, deg_i, xj_pred, xj,
+                               pen_j, deg_j, hx_i, hx_j, values[b_idx],
+                               alpha, nu1, nu2)
+        (dense_window,) = data
+        n = dense_window.shape[1]
+        steps = jnp.arange(look_back)
+        g = b_idx // n
+        node = b_idx % n
+        x_pre = dense_window[g[:, None] + steps[None, :], node[:, None]]
+        x_cur = dense_window[g + look_back, node]
+        pen = jnp.where(x_cur != 0, beta, 1.0)
+        if method == "DynAE":
+            x_in = x_pre.reshape(x_pre.shape[0], -1)
+        else:
+            x_in = x_pre
+        _, x_pred = m(x_in)
+        return dyngraph2vec_loss(m, x_pred, x_cur, pen, nu1, nu2)
+
+    @jax.jit
+    def run(model, opt_state, data, keys):
+        def epoch_body(carry, key):
+            model, opt_state = carry
+            bkeys = jax.random.split(key, batch_num)
+
+            def body(c, k):
+                grads_acc, loss_acc = c
+                b_idx = jax.random.choice(k, element_num, (batch_size,),
+                                          replace=False)
+                loss, grads = jax.value_and_grad(batch_loss)(model, data,
+                                                             b_idx)
+                return (jax.tree.map(jnp.add, grads_acc, grads),
+                        loss_acc + loss), loss
+
+            zero = jax.tree.map(jnp.zeros_like, model)
+            (grads, total), _ = jax.lax.scan(body, (zero, 0.0), bkeys)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), total
+
+        (model, opt_state), losses = jax.lax.scan(
+            epoch_body, (model, opt_state), keys)
+        return model, opt_state, losses
+
+    return run
+
+
 class DynamicEmbedding(BaseEmbedding):
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
                  model, model_folder="model"):
@@ -237,11 +309,12 @@ class DynamicEmbedding(BaseEmbedding):
                         nu2, alpha=0.0, edge_data=None, epoch=50,
                         batch_size=1024, lr=1e-3, idx=0, weight_decay=0.0,
                         model_file="dynae", load_model=False, shuffle=True,
-                        export=True, seed=0):
+                        export=True, seed=0, epoch_chunk=10):
         """dense_window: [duration, N, N] dense adjacency stack on device.
 
         For DynGEM, ``edge_data`` = (rows, cols, values) host arrays of the
-        single window snapshot.
+        single window snapshot.  ``epoch_chunk``: epochs scanned per jitted
+        dispatch (see engine.UnsupervisedEmbedding.learn_embedding).
         """
         model = self.model
         model_path = os.path.join(self.model_base_path, model_file or "")
@@ -256,69 +329,34 @@ class DynamicEmbedding(BaseEmbedding):
         if method == "DynGEM":
             rows, cols, values = edge_data
             element_num = rows.shape[0]
-            graph = dense_window[0]
-            rows, cols = jnp.asarray(rows), jnp.asarray(cols)
-            values = jnp.asarray(values, jnp.float32)
-
-            def batch_loss(m, b_idx):
-                xi = graph[rows[b_idx]]
-                xj = graph[cols[b_idx]]
-                pen_i = jnp.where(xi != 0, beta, 1.0)
-                pen_j = jnp.where(xj != 0, beta, 1.0)
-                deg_i = jnp.sum(xi, axis=1)
-                deg_j = jnp.sum(xj, axis=1)
-                hx_i, xi_pred = m(xi)
-                hx_j, xj_pred = m(xj)
-                return dyngem_loss(m, xi_pred, xi, pen_i, deg_i, xj_pred, xj,
-                                   pen_j, deg_j, hx_i, hx_j, values[b_idx],
-                                   alpha, nu1, nu2)
+            data = (dense_window[0], jnp.asarray(rows), jnp.asarray(cols),
+                    jnp.asarray(values, jnp.float32))
         else:
             train_size = W - look_back
             assert train_size > 0
             element_num = n * train_size
-            steps = jnp.arange(look_back)
-
-            def batch_loss(m, b_idx):
-                g = b_idx // n
-                node = b_idx % n
-                x_pre = dense_window[g[:, None] + steps[None, :], node[:, None]]
-                x_cur = dense_window[g + look_back, node]
-                pen = jnp.where(x_cur != 0, beta, 1.0)
-                if method == "DynAE":
-                    x_in = x_pre.reshape(x_pre.shape[0], -1)
-                else:
-                    x_in = x_pre
-                _, x_pred = m(x_in)
-                return dyngraph2vec_loss(m, x_pred, x_cur, pen, nu1, nu2)
+            data = (dense_window,)
 
         batch_size = min(batch_size, element_num)
         batch_num = -(-element_num // batch_size)
-
-        @jax.jit
-        def epoch_step(model, opt_state, key):
-            keys = jax.random.split(key, batch_num)
-
-            def body(carry, k):
-                grads_acc, loss_acc = carry
-                b_idx = jax.random.choice(k, element_num, (batch_size,),
-                                          replace=False)
-                loss, grads = jax.value_and_grad(batch_loss)(model, b_idx)
-                return (jax.tree.map(jnp.add, grads_acc, grads),
-                        loss_acc + loss), loss
-
-            zero = jax.tree.map(jnp.zeros_like, model)
-            (grads, total), _ = jax.lax.scan(body, (zero, 0.0), keys)
-            updates, opt_state = optimizer.update(grads, opt_state, model)
-            model = optax.apply_updates(model, updates)
-            return model, opt_state, total
+        run = _multi_epoch_fn(method, look_back, element_num, batch_size,
+                              batch_num, alpha, beta, nu1, nu2, lr,
+                              weight_decay)
 
         rng = jax.random.key(seed)
         st = time.time()
-        for i in range(epoch):
-            rng, k = jax.random.split(rng)
-            model, opt_state, total = epoch_step(model, opt_state, k)
-            print(f"epoch {i + 1}, loss: {float(total):.6f}, cost time: "
-                  f"{time.time() - st:.3f}s")
+        done = 0
+        while done < epoch:
+            c = min(epoch_chunk, epoch - done)
+            rng, sub = jax.random.split(rng)
+            model, opt_state, losses = run(model, opt_state, data,
+                                           jax.random.split(sub, c))
+            losses = np.asarray(losses)   # ONE pull per chunk
+            now = time.time() - st
+            for i in range(c):
+                print(f"epoch {done + i + 1}, loss: {losses[i]:.6f}, "
+                      f"cost time: {now:.3f}s")
+            done += c
 
         # prediction: embed every node from the last look_back graphs
         if method == "DynGEM":
@@ -428,7 +466,8 @@ def dyngem_embedding(method, args):
             dense_window, method, look_back, beta, nu1, nu2, alpha=alpha,
             edge_data=edge_data, epoch=epoch, batch_size=batch_size, lr=lr,
             idx=idx, weight_decay=weight_decay, model_file=model_file,
-            load_model=load_model, export=export, seed=widx)
+            load_model=load_model, export=export, seed=widx,
+            epoch_chunk=args.get("epoch_chunk", 10))
         time_list.append(cost)
 
     if record_time:

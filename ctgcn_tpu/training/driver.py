@@ -13,6 +13,7 @@ loop.  Parity surface:
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -249,9 +250,16 @@ def get_gnn_model(method, time_length, args, key):
                       trans_activate_type=trans_activate_type)
 
 
+@functools.lru_cache(maxsize=None)
 def make_forward(method, pipeline_mesh=None, halo_mesh=None, node_num=None):
     """Build fwd(model, data, key) -> embs [T, N, d] (plus trans for
     S-variants, plus (h, loss_data) for VGRNN).
+
+    Cached so the window loop reuses ONE fwd object per method: the
+    engine's jitted multi-epoch step is cached on loss_fn identity, and
+    loss_fn is cached on fwd identity — a fresh fwd per window would
+    re-trace + re-load the step executable through the relay every
+    window (~33 s each at AS scale, measured).
 
     ``data`` is the window-input pytree built by the driver and threaded
     through jit AS AN ARGUMENT — closing over the banks would embed them as
@@ -501,11 +509,16 @@ def gnn_embedding(method, args):
     # device trace of the steady-state epochs (training/profiling.py) —
     # the XLA-op/fusion/transfer analogue of the reference's wall-clock
     # prints (SURVEY §5 tracing row)
+    phase_times = os.environ.get("CTGCN_TPU_PHASE_TIMES")
     for widx, idx in enumerate(range(start_idx, end_idx, step)):
         print(f"idx = {idx}, duration = {duration}")
+        t_phase = time.time()
         time_length = min(idx + duration, end_idx) - idx
         input_dim, adjs, xs, edge_list = get_input_data(
             method, idx, time_length, data_loader, args)
+        if phase_times:
+            print(f"  [phase] get_input_data: {time.time() - t_phase:.2f}s")
+            t_phase = time.time()
         args["input_dim"] = input_dim
         data = {
             "adjs": adjs,
@@ -517,6 +530,9 @@ def gnn_embedding(method, args):
         }
         key, k_model = jax.random.split(key)
         model = get_gnn_model(method, time_length, args, k_model)
+        if phase_times:
+            print(f"  [phase] model init: {time.time() - t_phase:.2f}s")
+            t_phase = time.time()
         halo_mesh = None
         if data["halo_adjs"] is not None:
             # graph-partitioned path: the mesh axis is ``graph`` (snapshot
@@ -543,6 +559,9 @@ def gnn_embedding(method, args):
                            weight_decay, load_model, shuffle, export,
                            seed + widx, mesh)
         time_list.append(cost)
+        if phase_times:
+            print(f"  [phase] run_window (train {cost:.2f}s incl): "
+                  f"{time.time() - t_phase:.2f}s")
         if os.environ.get("CTGCN_TPU_MEM_REPORT"):
             try:
                 stats = jax.local_devices()[0].memory_stats() or {}
@@ -563,6 +582,50 @@ def gnn_embedding(method, args):
           f"{time.time() - t_start} seconds!")
 
 
+@functools.lru_cache(maxsize=None)
+def _uneg_loss_fn(fwd, take_first, neg_num, Q):
+    def loss_fn(m, d, b_idx, b_mask, k):
+        k_drop, k_samp = jax.random.split(k)
+        res = fwd(m, d, k_drop)
+        embs = res[0] if take_first else res
+        return L.negative_sampling_loss(embs, b_idx, b_mask, d["walk"],
+                                        k_samp, neg_num=neg_num, Q=Q)
+
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _vae_loss_fn(fwd, eps):
+    def loss_fn(m, d, b_idx, b_mask, k):
+        _, _, (em, es, pm, ps, dec) = fwd(m, d, k)
+        return L.vae_loss(em, es, pm, ps, dec, d["vae_adj_dense"], eps=eps)
+
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _recon_loss_fn(fwd):
+    def loss_fn(m, d, b_idx, b_mask, k):
+        embs, trans = fwd(m, d, k)
+        return L.reconstruction_loss(embs, trans, b_idx, b_mask)
+
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _embed_fn(fwd, select):
+    def embed(m, d):
+        res = fwd(m, d, None)
+        # S-variants export the structure embedding (embedding.py:320-321)
+        if select == "trans":
+            return res[1]
+        if select == "first":
+            return res[0]
+        return res
+
+    return embed
+
+
 def _run_window(method, model, fwd, data, data_loader, args, idx,
                 time_length, edge_list, learning_type, base_path,
                 origin_folder, embedding_folder, node_list, model_folder,
@@ -572,6 +635,11 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
     is_vgrnn = method == "VGRNN"
 
     if learning_type in ("U-neg", "U-own"):
+        # loss_fn / embed_fn come from lru_cached factories so the SAME
+        # function objects serve every window — the engine caches its
+        # jitted multi-epoch step on loss_fn identity (fresh closures per
+        # window forced a ~33 s re-trace + executable reload through the
+        # relay at every AS window, measured)
         if learning_type == "U-neg":
             walk = data_loader.get_walk_data(
                 os.path.abspath(os.path.join(base_path,
@@ -579,42 +647,20 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
                 os.path.abspath(os.path.join(base_path,
                                              args["node_freq_folder"])),
                 idx, time_length)
-            neg_num = args["neg_num"]
-            Q = args["Q"]
             data["walk"] = walk
-
-            def loss_fn(m, d, b_idx, b_mask, k):
-                k_drop, k_samp = jax.random.split(k)
-                res = fwd(m, d, k_drop)
-                embs = res[0] if (is_s_variant or is_vgrnn) else res
-                return L.negative_sampling_loss(embs, b_idx, b_mask,
-                                                d["walk"], k_samp,
-                                                neg_num=neg_num, Q=Q)
+            loss_fn = _uneg_loss_fn(fwd, is_s_variant or is_vgrnn,
+                                    args["neg_num"], args["Q"])
         elif is_vgrnn:  # U-own: VAE loss (reference train.py:184-186)
-            eps = args.get("eps", 1e-10)
             data["vae_adj_dense"] = _vgrnn_dense_bank(data["adjs"])
-
-            def loss_fn(m, d, b_idx, b_mask, k):
-                _, _, (em, es, pm, ps, dec) = fwd(m, d, k)
-                return L.vae_loss(em, es, pm, ps, dec, d["vae_adj_dense"],
-                                  eps=eps)
+            loss_fn = _vae_loss_fn(fwd, args.get("eps", 1e-10))
         else:  # U-own: reconstruction loss for CGCN-S/CTGCN-S
             assert is_s_variant, (
                 f"U-own is only defined for S-variants and VGRNN, "
                 f"got {method}")
+            loss_fn = _recon_loss_fn(fwd)
 
-            def loss_fn(m, d, b_idx, b_mask, k):
-                embs, trans = fwd(m, d, k)
-                return L.reconstruction_loss(embs, trans, b_idx, b_mask)
-
-        def embed_fn(m, d):
-            res = fwd(m, d, None)
-            # S-variants export the structure embedding (embedding.py:320-321)
-            if is_s_variant:
-                return res[1]
-            if is_vgrnn:
-                return res[0]
-            return res
+        embed_fn = _embed_fn(fwd, "trans" if is_s_variant
+                             else "first" if is_vgrnn else "plain")
 
         trainer = UnsupervisedEmbedding(
             base_path=base_path, origin_folder=origin_folder,
@@ -626,7 +672,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
             epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
             weight_decay=weight_decay, model_file=model_file,
             load_model=load_model, shuffle=shuffle, export=export, seed=seed,
-            profile_dir=args.get("profile_dir"))
+            profile_dir=args.get("profile_dir"),
+            epoch_chunk=args.get("epoch_chunk", 10))
 
     # ------------------------------------------------------------------
     # supervised learning types

@@ -18,6 +18,7 @@ torch.save(state_dict) analogue, reference embedding.py:50-71, 363-364).
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -93,6 +94,48 @@ def batch_matrix(node_num, batch_size, key=None, shuffle=True):
             mask.reshape(batch_num, batch_size))
 
 
+@functools.lru_cache(maxsize=None)
+def _multi_epoch_step(loss_fn, lr, weight_decay):
+    """Jitted scan over a chunk of epochs, cached on loss_fn identity.
+
+    The window loop constructs a trainer per window; a fresh ``@jax.jit``
+    there would re-trace and re-load the executable through the relay at
+    EVERY window (~33 s each at AS scale, measured).  The driver's loss
+    factories are lru_cached, so one (loss_fn, lr, wd) key — and one jit
+    object — serves the whole run."""
+    optimizer = make_optimizer(lr, weight_decay)
+
+    @jax.jit
+    def multi_epoch_step(model, opt_state, data, batches, masks, keys):
+        # batches/masks: [C, nb, B]; keys: [C] per-epoch loss keys
+
+        def epoch_body(carry, inp):
+            model, opt_state = carry
+            e_batches, e_masks, key = inp
+            e_keys = jax.random.split(key, e_batches.shape[0])
+
+            def body(grads_loss, binp):
+                grads_acc, loss_acc = grads_loss
+                b_idx, b_mask, k = binp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    model, data, b_idx, b_mask, k)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), loss
+
+            zero_grads = jax.tree.map(jnp.zeros_like, model)
+            (grads, total_loss), _ = jax.lax.scan(
+                body, (zero_grads, 0.0), (e_batches, e_masks, e_keys))
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return (model, opt_state), total_loss
+
+        (model, opt_state), losses = jax.lax.scan(
+            epoch_body, (model, opt_state), (batches, masks, keys))
+        return model, opt_state, losses
+
+    return multi_epoch_step
+
+
 class BaseEmbedding:
     """Paths + embedding CSV export (reference embedding.py:13-89)."""
 
@@ -155,7 +198,16 @@ class UnsupervisedEmbedding(BaseEmbedding):
     def learn_embedding(self, epoch=50, batch_size=1024, lr=1e-3,
                         start_idx=0, weight_decay=0.0, model_file="ctgcn",
                         load_model=False, shuffle=True, export=True, seed=0,
-                        verbose=True, profile_dir=None):
+                        verbose=True, profile_dir=None, epoch_chunk=10):
+        """``epoch_chunk``: epochs scanned inside ONE jitted dispatch.
+
+        Per-epoch dispatch + a ``float(loss)`` device pull each cost
+        ~0.1-0.5 s through the axon relay — at AS scale (100 duration-1
+        windows, 50 epochs each) that overhead dominated training itself.
+        Chunking runs ``lax.scan`` over the epoch axis and pulls the
+        per-epoch loss vector once per chunk; loss values and the time
+        CSV are unchanged (epoch lines print at chunk boundaries).
+        Profiled runs force chunk=1 so per-epoch traces stay exact."""
         model = self.model
         model_path = os.path.join(self.model_base_path, model_file or "")
         if load_model and model_file and os.path.exists(model_path):
@@ -174,56 +226,62 @@ class UnsupervisedEmbedding(BaseEmbedding):
 
         optimizer = make_optimizer(lr, weight_decay)
         opt_state = optimizer.init(model)
-        loss_fn = self.loss_fn
-
-        @jax.jit
-        def epoch_step(model, opt_state, data, batches, masks, key):
-            n_batches = batches.shape[0]
-            keys = jax.random.split(key, n_batches)
-
-            def body(grads_loss, inp):
-                grads_acc, loss_acc = grads_loss
-                b_idx, b_mask, k = inp
-                loss, grads = jax.value_and_grad(loss_fn)(model, data, b_idx,
-                                                          b_mask, k)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), loss
-
-            zero_grads = jax.tree.map(jnp.zeros_like, model)
-            (grads, total_loss), _ = jax.lax.scan(
-                body, (zero_grads, 0.0), (batches, masks, keys))
-            updates, opt_state = optimizer.update(grads, opt_state, model)
-            model = optax.apply_updates(model, updates)
-            return model, opt_state, total_loss
+        multi_epoch_step = _multi_epoch_step(self.loss_fn, lr, weight_decay)
 
         from ctgcn_tpu.training.profiling import EpochTracer
 
         tracer = EpochTracer(profile_dir, epoch)
+        if tracer.dir:
+            epoch_chunk = 1    # per-epoch traces stay exact
+        epoch_chunk = max(1, min(epoch_chunk, epoch))
         rng = jax.random.key(seed)
         st = time.time()
-        for i in range(epoch):
-            tracer.before_epoch(i)
-            rng, k_perm, k_loss = jax.random.split(rng, 3)
-            batches, masks = batch_matrix(self.node_num, batch_size,
-                                          key=k_perm, shuffle=shuffle)
-            with tracer.annotate(i):
-                model, opt_state, total_loss = epoch_step(
-                    model, opt_state, self.data, jnp.asarray(batches),
-                    jnp.asarray(masks), k_loss)
+        done = 0
+        while done < epoch:
+            c = min(epoch_chunk, epoch - done)
+            b_list, m_list, k_list = [], [], []
+            for _ in range(c):
+                rng, k_perm, k_loss = jax.random.split(rng, 3)
+                b, m = batch_matrix(self.node_num, batch_size, key=k_perm,
+                                    shuffle=shuffle)
+                b_list.append(b)
+                m_list.append(m)
+                k_list.append(k_loss)
+            tracer.before_epoch(done)
+            with tracer.annotate(done):
+                model, opt_state, losses = multi_epoch_step(
+                    model, opt_state, self.data,
+                    jnp.asarray(np.stack(b_list)),
+                    jnp.asarray(np.stack(m_list)), jnp.stack(k_list))
                 if tracer.active:      # trace wants the real device time
-                    jax.block_until_ready(total_loss)
-            tracer.after_epoch(i)
+                    jax.block_until_ready(losses)
+            tracer.after_epoch(done)
             if verbose:
-                print(f"epoch {i + 1}, loss: {float(total_loss):.6f}, "
-                      f"cost time: {time.time() - st:.3f}s")
+                losses = np.asarray(losses)   # ONE pull per chunk
+                now = time.time() - st
+                for i in range(c):
+                    print(f"epoch {done + i + 1}, loss: {losses[i]:.6f}, "
+                          f"cost time: {now:.3f}s")
+            done += c
         tracer.close()
         cost_time = time.time() - st
 
+        phase_times = os.environ.get("CTGCN_TPU_PHASE_TIMES")
         if export:
+            t_p = time.time()
             output = self.embed_fn(model, self.data)
+            if phase_times:
+                jax.block_until_ready(output)
+                print(f"  [phase] embed_fn: {time.time() - t_p:.2f}s")
+                t_p = time.time()
             self.save_embedding(output, start_idx)
+            if phase_times:
+                print(f"  [phase] save_embedding: {time.time() - t_p:.2f}s")
         if model_file:
+            t_p = time.time()
             save_params(model, model_path)
+            if phase_times:
+                print(f"  [phase] save_params: {time.time() - t_p:.2f}s")
         self.model = model
         return cost_time
 

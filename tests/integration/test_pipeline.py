@@ -88,6 +88,27 @@ def test_gcn_unsupervised_end_to_end(preprocessed):
 
 
 @pytest.mark.integration
+def test_epoch_chunking_matches_per_epoch_dispatch(preprocessed):
+    """epoch_chunk scans C epochs inside one jitted dispatch; the host
+    RNG stream (one split per epoch) is chunk-size-invariant, so final
+    params — and exported embeddings — must be BIT-identical to chunk=1
+    (the relay-overhead optimization must not change numerics)."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    outs = {}
+    for chunk in (1, 4):
+        gnn_embedding("GCN", _embed_args(
+            preprocessed, "GCN", duration=1, epoch=4, seed=123,
+            embed_folder=f"2.embedding/GCN_chunk{chunk}",
+            model_file=f"gcn_chunk{chunk}", epoch_chunk=chunk))
+        emb_dir = os.path.join(preprocessed, "2.embedding",
+                               f"GCN_chunk{chunk}")
+        outs[chunk] = pd.read_csv(os.path.join(emb_dir, "t2.csv"),
+                                  sep="\t", index_col=0).values
+    np.testing.assert_array_equal(outs[1], outs[4])
+
+
+@pytest.mark.integration
 def test_ctgcn_c_unsupervised_end_to_end(preprocessed):
     from ctgcn_tpu.training.driver import gnn_embedding
 

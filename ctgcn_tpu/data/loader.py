@@ -312,9 +312,15 @@ class DataLoader:
             if nnz:
                 flat[:nnz] = np.concatenate(
                     [np.asarray(r, col_dt) for r in rows if len(r)])
+            # keep the full deg_cap bucket width: slicing to the window's
+            # exact max_deg gave nearly every AS window a fresh neighbor-
+            # table shape, retracing + recompiling the whole multi-epoch
+            # step per window (~30-60 s each through the relay).  The loss
+            # masks by ``degrees`` (losses.py slot_valid), so padding
+            # columns are numerics-free.
             neighbors_t.append(_scatter_table(
                 jnp.asarray(flat), jnp.asarray(dg), nnz,
-                self.node_num, deg_cap)[:, :max_deg])
+                self.node_num, deg_cap))
             degrees_t.append(dg)
 
         return WalkData(

@@ -226,11 +226,26 @@ def _stack_plans(plans):
                    n_rows=plans[0].n_rows, n_cols=plans[0].n_cols)
 
 
+def _soft_bucket(n):
+    """Quarter-power-of-two rounding (…, 8, 10, 12, 14, 16, 20, 24, …).
+
+    Window plans built with EXACT per-window bucket row counts give nearly
+    every window of a 100-snapshot run a fresh set of table shapes — each
+    retraces and recompiles the whole jitted train step (~30-60 s through
+    the relay).  Rounding counts to 1/4-pow2 steps collapses the shape set
+    to a handful for ≤12.5% padded-slot overhead."""
+    if n <= 8:
+        return max(int(n), 0) and 8
+    step = max(8, 1 << (int(n - 1).bit_length() - 3))
+    return -(-int(n) // step) * step
+
+
 def _build_uniform(csrs, min_width, compact=False):
     """One plan per csr with a UNIFIED bucket spec, stacked on [T]."""
     widths = [_row_widths(c, min_width) for c in csrs]
     all_w = sorted({int(w) for ws in widths for w in ws})
-    spec = [(w, max(int(np.sum(ws == w)) for ws in widths)) for w in all_w]
+    spec = [(w, _soft_bucket(max(int(np.sum(ws == w)) for ws in widths)))
+            for w in all_w]
     plans = []
     for csr, w in zip(csrs, widths):
         buckets, inv_perm = _build_buckets(csr, w, spec, compact=compact)
@@ -325,7 +340,7 @@ def build_window_ell_ev_plans(rows, cols, nnz_masks, n_rows, n_cols,
                 shape=(n_rows, n_cols)).tocsr()
             widths.append(_row_widths(csr, min_width))
         all_w = sorted({int(w) for ws in widths for w in ws})
-        return [(w, max(int(np.sum(ws == w)) for ws in widths))
+        return [(w, _soft_bucket(max(int(np.sum(ws == w)) for ws in widths)))
                 for w in all_w]
 
     fwd_list = [(rows[t], cols[t], np.asarray(nnz_masks[t]))

@@ -63,6 +63,54 @@ def _remat(fn):
     return jax.checkpoint(fn)
 
 
+def _core_rnn_budget_bytes():
+    """Residual budget for one CoreDiffusion layer's ReLU+core-axis-RNN
+    tail.  Above it, the layer switches from the batched tail (hx/gi_all
+    and per-gate internals all materialized at [K, N, *] as backward
+    residuals) to a checkpointed lax.scan over the core axis whose
+    backward keeps only ``acc`` plus the [K, N, H] carries — measured
+    2.3 GB -> 0.9 GB per Facebook-scale snapshot, the difference between
+    a T=5 window OOMing and fitting a 16 GB v5e.  Read at trace time."""
+    return int(os.environ.get("CTGCN_TPU_CORE_RNN_BUDGET", 512 << 20))
+
+
+def _core_rnn_scan_remat(cell, acc, valid):
+    """Memory-lean tail of CoreDiffusion: relu+mask+RNN over the core axis
+    as one checkpointed scan.
+
+    Numerically equivalent to ``rnn_scan(cell, relu(acc)*valid,
+    mask=valid)`` (packed-sequence semantics: invalid slots pass the carry
+    through and emit zeros) but the ReLU and the input projection live
+    INSIDE the rematted step, so backward residuals are ``acc`` (the scan
+    xs) and the inter-step carries — not the [K, N, d_in] hx, [K, N, 3H]
+    gi_all, and per-gate internals the batched tail keeps."""
+    from ctgcn_tpu.ops.rnn import LSTMCell
+
+    n = acc.shape[1]
+    H = cell.hidden_dim
+    is_lstm = isinstance(cell, LSTMCell)
+    h0 = jnp.zeros((n, H), acc.dtype)
+    carry0 = (h0, h0) if is_lstm else h0
+    valid = valid.astype(bool)
+
+    @jax.checkpoint
+    def step(carry, inp):
+        acc_k, v = inp
+        hx = jax.nn.relu(acc_k) * v
+        new = cell(carry, hx)
+        if is_lstm:
+            new = tuple(jnp.where(v, nw, old)
+                        for nw, old in zip(new, carry))
+            out = jnp.where(v, new[0], 0.0)
+        else:
+            new = jnp.where(v, new, carry)
+            out = jnp.where(v, new, 0.0)
+        return new, out
+
+    _, outs = jax.lax.scan(step, carry0, (acc, valid))
+    return outs
+
+
 def _window_act_bytes(cdn, pyramids):
     """Rough forward-activation footprint of the batched [T] window: the
     [K, N, d_in] contribs/prefix/relu plus [K, N, 3H+H] GRU tensors per
@@ -217,9 +265,19 @@ class CoreDiffusion:
             precision=jax.lax.Precision.HIGHEST)
         if pyramid.ell_fwd is not None and pyramid.ell_delta:
             acc = acc + x.astype(jnp.float32)[None]
-        hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
-        # hx: [K, N, in]; RNN over the core axis with packed-seq masking
-        outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)
+        # relu + RNN over the core axis: batched tail for small windows
+        # (hoisted gi matmul, best at UCI scale), checkpointed scan tail
+        # when the batched residuals ([K,N,d]+[K,N,3H]+gate internals)
+        # would blow the per-layer budget (see _core_rnn_budget_bytes)
+        d_in = acc.shape[-1]
+        H = self.rnn.hidden_dim
+        tail_bytes = 4 * K * n * (2 * d_in + 7 * H)
+        if tail_bytes > _core_rnn_budget_bytes():
+            outs = _core_rnn_scan_remat(self.rnn, acc, pyramid.valid)
+        else:
+            hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
+            # hx: [K, N, in]; RNN over core axis with packed-seq masking
+            outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)
         out = self.norm(outs.sum(axis=0))
         if pyramid.blocks is not None:
             out = jnp.take(out, pyramid.inv_perm, axis=0)

@@ -78,3 +78,70 @@ def test_masked_scan_equals_packed_sequence(rng):
     np.testing.assert_allclose(np.asarray(outs_masked.sum(0)),
                                np.asarray(outs_packed.sum(0)), rtol=1e-5,
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("rnn_type", ["GRU", "LSTM"])
+def test_core_rnn_scan_remat_matches_batched_tail(rnn_type, rng):
+    """The memory-lean checkpointed-scan tail of CoreDiffusion must be
+    numerically equivalent (values AND grads) to the batched
+    relu+mask+rnn_scan tail it replaces in the over-budget regime."""
+    from ctgcn_tpu.nn.core_models import _core_rnn_scan_remat
+
+    K, n, d, H = 6, 23, 10, 7
+    cell = (GRUCell if rnn_type == "GRU" else LSTMCell).init(
+        jax.random.key(3), d, H)
+    acc = jnp.asarray(rng.standard_normal((K, n, d)), jnp.float32)
+    valid = jnp.asarray([True, True, False, True, False, True])
+
+    def batched(cell, acc):
+        hx = jax.nn.relu(acc) * valid[:, None, None]
+        outs, _ = rnn_scan(cell, hx, mask=valid)
+        return outs
+
+    ref = batched(cell, acc)
+    got = _core_rnn_scan_remat(cell, acc, valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_b(cell, acc):
+        return jnp.sum(batched(cell, acc) ** 2)
+
+    def loss_s(cell, acc):
+        return jnp.sum(_core_rnn_scan_remat(cell, acc, valid) ** 2)
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(cell, acc)
+    gs = jax.grad(loss_s, argnums=(0, 1))(cell, acc)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5), gs, gb)
+
+
+def test_core_diffusion_tail_gate_env(rng, monkeypatch):
+    """CTGCN-C forward is identical under both tails (budget forced to 0
+    routes every layer through the checkpointed scan)."""
+    import scipy.sparse as sp
+    from ctgcn_tpu.nn import CTGCN
+    from ctgcn_tpu.ops.pyramid import build_core_pyramid, stack_pyramids
+
+    N, T = 40, 3
+    pyrs = []
+    for _ in range(T):
+        d = (rng.random((N, N)) < 0.25).astype(np.float32)
+        d = np.triu(d, 1)
+        A = sp.csr_matrix(d + d.T)
+        deg = np.asarray(A.sum(1)).flatten()
+        mats = []
+        for k in [2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                A.multiply(keep[:, None]).multiply(keep[None, :])))
+        pyrs.append(build_core_pyramid(mats, N, num_slots=3, pad_to=1024))
+    pyr = stack_pyramids(pyrs)
+    model = CTGCN.init(jax.random.key(0), input_dim=pyr.n_nodes,
+                       hidden_dim=12, output_dim=8, trans_num=1,
+                       diffusion_num=2, duration=T)
+    ref = model(None, pyr)
+    monkeypatch.setenv("CTGCN_TPU_CORE_RNN_BUDGET", "0")
+    got = model(None, pyr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -248,26 +248,6 @@ class DataLoader:
                 valid=jnp.asarray(out.valid))
         return out
 
-    @staticmethod
-    def _bsr_plan_affordable(per_snap_mats, budget_bytes=1 << 30, block=128):
-        """Host-side estimate of the stacked BSR block banks; False when the
-        Pallas plan would cost more HBM than it is worth (→ segment path)."""
-        total = 0
-        for mats in per_snap_mats:
-            nb = 0
-            for m in mats:
-                coo = m.tocoo()
-                if coo.nnz == 0:
-                    continue
-                c_tiles = -(-m.shape[1] // block)
-                key = ((coo.row // block).astype(np.int64) * c_tiles
-                       + coo.col // block)
-                nb += len(np.unique(key))
-            total = max(total, nb)  # plans pad to the window max
-        # fwd + transpose plan, all snapshots share the padded bank size
-        return (total * block * block * 4 * 2
-                * len(per_snap_mats)) <= budget_bytes
-
     # ------------------------------------------------------------------
     # walk artifacts → WalkData
     # ------------------------------------------------------------------

@@ -84,8 +84,6 @@ def _core_rnn_scan_remat(cell, acc, valid):
     INSIDE the rematted step, so backward residuals are ``acc`` (the scan
     xs) and the inter-step carries — not the [K, N, d_in] hx, [K, N, 3H]
     gi_all, and per-gate internals the batched tail keeps."""
-    from ctgcn_tpu.ops.rnn import LSTMCell
-
     n = acc.shape[1]
     H = cell.hidden_dim
     is_lstm = isinstance(cell, LSTMCell)
@@ -271,7 +269,10 @@ class CoreDiffusion:
         # would blow the per-layer budget (see _core_rnn_budget_bytes)
         d_in = acc.shape[-1]
         H = self.rnn.hidden_dim
-        tail_bytes = 4 * K * n * (2 * d_in + 7 * H)
+        # LSTM tails materialize 4H gate projections plus both h and c
+        # carries (~9H per node) vs the GRU's 3H + h (~7H)
+        per_h = 9 if isinstance(self.rnn, LSTMCell) else 7
+        tail_bytes = 4 * K * n * (2 * d_in + per_h * H)
         if tail_bytes > _core_rnn_budget_bytes():
             outs = _core_rnn_scan_remat(self.rnn, acc, pyramid.valid)
         else:

@@ -294,7 +294,13 @@ def make_forward(method, pipeline_mesh=None, halo_mesh=None, node_num=None):
                          key)
     elif method == "VGRNN":
         def fwd(model, data, key=None):
-            return model(data["xs"], data["vgrnn_adjs"], key=key)
+            # "vgrnn_hx" (optional data entry): recurrent state carried
+            # across the batch loop within an epoch — the reference threads
+            # hx through get_model_res (embedding.py:342-346) and its
+            # Variable() re-wrap detaches it, so callers inject a
+            # stop-gradient'd carry here (engine stateful protocol)
+            return model(data["xs"], data["vgrnn_adjs"],
+                         hx=data.get("vgrnn_hx"), key=key)
     elif method == "PGNN":
         from ctgcn_tpu.nn.pgnn import anchor_sizes, select_anchor_dists
 
@@ -559,6 +565,12 @@ def gnn_embedding(method, args):
                            weight_decay, load_model, shuffle, export,
                            seed + widx, mesh)
         time_list.append(cost)
+        if record_time:
+            # rewrite after every window so a killed long run keeps the
+            # completed windows' times (multi-hour enron/facebook jobs)
+            pd.DataFrame({"time": time_list}).to_csv(
+                os.path.join(base_path, method + "_time.csv"), sep=",",
+                index=False)
         if phase_times:
             print(f"  [phase] run_window (train {cost:.2f}s incl): "
                   f"{time.time() - t_phase:.2f}s")
@@ -603,6 +615,63 @@ def _vae_loss_fn(fwd, eps):
     return loss_fn
 
 
+# ---------------------------------------------------------------------------
+# VGRNN hidden-state carry (reference embedding.py:342-346: hx flows across
+# the batch loop within an epoch, detached at each re-entry by Variable())
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _vgrnn_state_init():
+    def init(model, data):
+        return jnp.zeros((model.rnn_layer_num, data["vgrnn_adjs"].n_rows,
+                          model.hidden_dim))
+
+    return init
+
+
+@functools.lru_cache(maxsize=None)
+def _vae_loss_fn_stateful(fwd, eps):
+    """VGRNN U-own loss with the hx carry (engine stateful protocol)."""
+    def loss_fn(m, d, b_idx, b_mask, k, hx):
+        d2 = dict(d)
+        d2["vgrnn_hx"] = hx
+        _, h, (em, es, pm, ps, dec) = fwd(m, d2, k)
+        return (L.vae_loss(em, es, pm, ps, dec, d["vae_adj_dense"], eps=eps),
+                h)
+
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _uneg_loss_fn_stateful(fwd, neg_num, Q):
+    """VGRNN U-neg loss with the hx carry (the reference threads hx through
+    get_model_res for every learning type, embedding.py:299-321)."""
+    def loss_fn(m, d, b_idx, b_mask, k, hx):
+        k_drop, k_samp = jax.random.split(k)
+        d2 = dict(d)
+        d2["vgrnn_hx"] = hx
+        res = fwd(m, d2, k_drop)
+        return (L.negative_sampling_loss(res[0], b_idx, b_mask, d["walk"],
+                                         k_samp, neg_num=neg_num, Q=Q),
+                res[1])
+
+    return loss_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _embed_fn_stateful(fwd):
+    """(model, data, hx) -> (embeddings, new_hx) — lets the engine replay
+    the final epoch's batch-loop carry for export (embedding.py:361 exports
+    the last batch forward's output_list, which consumed the carried hx)."""
+    def embed(m, d, hx):
+        d2 = dict(d)
+        d2["vgrnn_hx"] = hx
+        res = fwd(m, d2, None)
+        return res[0], res[1]
+
+    return embed
+
+
 @functools.lru_cache(maxsize=None)
 def _recon_loss_fn(fwd):
     def loss_fn(m, d, b_idx, b_mask, k):
@@ -640,6 +709,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         # jitted multi-epoch step on loss_fn identity (fresh closures per
         # window forced a ~33 s re-trace + executable reload through the
         # relay at every AS window, measured)
+        state_init = _vgrnn_state_init() if is_vgrnn else None
         if learning_type == "U-neg":
             walk = data_loader.get_walk_data(
                 os.path.abspath(os.path.join(base_path,
@@ -648,11 +718,15 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
                                              args["node_freq_folder"])),
                 idx, time_length)
             data["walk"] = walk
-            loss_fn = _uneg_loss_fn(fwd, is_s_variant or is_vgrnn,
-                                    args["neg_num"], args["Q"])
+            if is_vgrnn:
+                loss_fn = _uneg_loss_fn_stateful(fwd, args["neg_num"],
+                                                 args["Q"])
+            else:
+                loss_fn = _uneg_loss_fn(fwd, is_s_variant,
+                                        args["neg_num"], args["Q"])
         elif is_vgrnn:  # U-own: VAE loss (reference train.py:184-186)
             data["vae_adj_dense"] = _vgrnn_dense_bank(data["adjs"])
-            loss_fn = _vae_loss_fn(fwd, args.get("eps", 1e-10))
+            loss_fn = _vae_loss_fn_stateful(fwd, args.get("eps", 1e-10))
         else:  # U-own: reconstruction loss for CGCN-S/CTGCN-S
             assert is_s_variant, (
                 f"U-own is only defined for S-variants and VGRNN, "
@@ -667,7 +741,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
             embedding_folder=embedding_folder, node_list=node_list,
             model=model, loss_fn=loss_fn, embed_fn=embed_fn, data=data,
             model_folder=model_folder, mesh=mesh,
-            time_length=time_length)
+            time_length=time_length, state_init=state_init,
+            embed_state_fn=_embed_fn_stateful(fwd) if is_vgrnn else None)
         return trainer.learn_embedding(
             epoch=epoch, batch_size=batch_size, lr=lr, start_idx=idx,
             weight_decay=weight_decay, model_file=model_file,
@@ -716,7 +791,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
             embs = res[0] if (is_s_variant or is_vgrnn) else res
             preds = jax.vmap(lambda e, i: cls.mlp(e[i]))(embs, items)
             return preds, embs, (res[1] if is_s_variant
-                                 else (res[2] if is_vgrnn else None))
+                                 else ((res[1], res[2]) if is_vgrnn else None))
 
         def loss_fn(preds, labels, mask, aux):
             loss, acc = L.classification_loss(preds, labels, n_class,
@@ -745,7 +820,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
                 return cls.classifier.mlp(feats)
             preds = jax.vmap(per_t)(embs, items)
             return preds, embs, (res[1] if is_s_variant
-                                 else (res[2] if is_vgrnn else None))
+                                 else ((res[1], res[2]) if is_vgrnn else None))
 
         def loss_fn(preds, labels, mask, aux):
             return L.classification_loss(preds, labels, n_class, mask=mask)
@@ -767,7 +842,7 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
                 return jnp.sum(e[it[:, 0]] * e[it[:, 1]], axis=-1)
             preds = jax.vmap(per_t)(used, items)
             return preds, embs, (res[1] if is_s_variant
-                                 else (res[2] if is_vgrnn else None))
+                                 else ((res[1], res[2]) if is_vgrnn else None))
 
         def loss_fn(preds, labels, mask, aux):
             return L.classification_loss(preds, labels, n_class, mask=mask)
@@ -805,9 +880,15 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
 
         inner_forward = forward_fn
 
-        def forward_fn(models, d, items, k):  # noqa: F811
-            preds, embs, loss_data = inner_forward(models, d, items, k)
-            return preds, embs, (loss_data, d["vae_adj_dense"])
+        def forward_fn(models, d, items, k, hx):  # noqa: F811
+            # stateful protocol (engine): hx in, post-recurrence h out —
+            # the reference threads hx train -> val within an epoch and
+            # keeps best_hx for test eval (embedding.py:238-263, 278)
+            d2 = dict(d)
+            d2["vgrnn_hx"] = hx
+            preds, embs, aux = inner_forward(models, d2, items, k)
+            h, loss_data = aux
+            return preds, embs, (loss_data, d["vae_adj_dense"]), h
 
     def embed_fn(models, d):
         res = fwd(models[0], d, None)
@@ -823,7 +904,8 @@ def _run_window(method, model, fwd, data, data_loader, args, idx,
         classifier=classifier, forward_fn=forward_fn, loss_fn=loss_fn,
         embed_fn=embed_fn, data=data, auc_fn=auc_fn,
         model_folder=model_folder, mesh=mesh,
-        time_length=time_length)
+        time_length=time_length,
+        state_init=_vgrnn_state_init() if is_vgrnn else None)
     tr, va, te = splits["train"], splits["val"], splits["test"]
     return trainer.learn_embedding(
         tr[0], tr[1], tr[2], va[0], va[1], va[2], te[0], te[1], te[2],

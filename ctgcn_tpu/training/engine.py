@@ -95,14 +95,24 @@ def batch_matrix(node_num, batch_size, key=None, shuffle=True):
 
 
 @functools.lru_cache(maxsize=None)
-def _multi_epoch_step(loss_fn, lr, weight_decay):
+def _multi_epoch_step(loss_fn, lr, weight_decay, state_init=None):
     """Jitted scan over a chunk of epochs, cached on loss_fn identity.
 
     The window loop constructs a trainer per window; a fresh ``@jax.jit``
     there would re-trace and re-load the executable through the relay at
     EVERY window (~33 s each at AS scale, measured).  The driver's loss
     factories are lru_cached, so one (loss_fn, lr, wd) key — and one jit
-    object — serves the whole run."""
+    object — serves the whole run.
+
+    ``state_init`` (optional, lru-cached callable ``(model, data) -> pytree``)
+    switches the batch scan to the STATEFUL protocol used by VGRNN: the
+    reference carries the recurrent hidden state across the batch loop
+    within an epoch and resets it at each epoch start (embedding.py:342-346),
+    and its ``Variable(hx)`` re-wrap DETACHES the carry (verified: torch
+    ``Variable`` of a non-leaf tensor drops grad_fn), so the carried state
+    crosses batch boundaries as values only — ``stop_gradient`` here.
+    Stateful loss_fn signature: (model, data, b_idx, b_mask, key, state)
+    -> (loss, new_state)."""
     optimizer = make_optimizer(lr, weight_decay)
 
     @jax.jit
@@ -113,18 +123,33 @@ def _multi_epoch_step(loss_fn, lr, weight_decay):
             model, opt_state = carry
             e_batches, e_masks, key = inp
             e_keys = jax.random.split(key, e_batches.shape[0])
-
-            def body(grads_loss, binp):
-                grads_acc, loss_acc = grads_loss
-                b_idx, b_mask, k = binp
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    model, data, b_idx, b_mask, k)
-                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, loss_acc + loss), loss
-
             zero_grads = jax.tree.map(jnp.zeros_like, model)
-            (grads, total_loss), _ = jax.lax.scan(
-                body, (zero_grads, 0.0), (e_batches, e_masks, e_keys))
+
+            if state_init is None:
+                def body(grads_loss, binp):
+                    grads_acc, loss_acc = grads_loss
+                    b_idx, b_mask, k = binp
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        model, data, b_idx, b_mask, k)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss), loss
+
+                (grads, total_loss), _ = jax.lax.scan(
+                    body, (zero_grads, 0.0), (e_batches, e_masks, e_keys))
+            else:
+                def body(carry_b, binp):
+                    grads_acc, loss_acc, state = carry_b
+                    b_idx, b_mask, k = binp
+                    (loss, state), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                            model, data, b_idx, b_mask, k, state)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss,
+                            jax.lax.stop_gradient(state)), loss
+
+                (grads, total_loss, _), _ = jax.lax.scan(
+                    body, (zero_grads, 0.0, state_init(model, data)),
+                    (e_batches, e_masks, e_keys))
             updates, opt_state = optimizer.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return (model, opt_state), total_loss
@@ -186,7 +211,8 @@ class UnsupervisedEmbedding(BaseEmbedding):
 
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
                  model, loss_fn, embed_fn, data, model_folder="model",
-                 mesh=None, time_length=None):
+                 mesh=None, time_length=None, state_init=None,
+                 embed_state_fn=None):
         super().__init__(base_path, origin_folder, embedding_folder,
                          node_list, model, model_folder=model_folder)
         self.loss_fn = loss_fn
@@ -194,6 +220,11 @@ class UnsupervisedEmbedding(BaseEmbedding):
         self.data = data
         self.mesh = mesh
         self.time_length = time_length
+        # VGRNN hidden-state carry (see _multi_epoch_step): when set,
+        # loss_fn is stateful and embed_state_fn(model, data, hx) ->
+        # (output, new_hx) replays the batch-loop carry for export
+        self.state_init = state_init
+        self.embed_state_fn = embed_state_fn
 
     def learn_embedding(self, epoch=50, batch_size=1024, lr=1e-3,
                         start_idx=0, weight_decay=0.0, model_file="ctgcn",
@@ -226,7 +257,8 @@ class UnsupervisedEmbedding(BaseEmbedding):
 
         optimizer = make_optimizer(lr, weight_decay)
         opt_state = optimizer.init(model)
-        multi_epoch_step = _multi_epoch_step(self.loss_fn, lr, weight_decay)
+        multi_epoch_step = _multi_epoch_step(self.loss_fn, lr, weight_decay,
+                                             self.state_init)
 
         from ctgcn_tpu.training.profiling import EpochTracer
 
@@ -269,7 +301,17 @@ class UnsupervisedEmbedding(BaseEmbedding):
         phase_times = os.environ.get("CTGCN_TPU_PHASE_TIMES")
         if export:
             t_p = time.time()
-            output = self.embed_fn(model, self.data)
+            batch_num = -(-self.node_num // batch_size)
+            if self.embed_state_fn is not None and batch_num > 1:
+                # reference convention: the exported embedding is the LAST
+                # batch forward of the final epoch, which consumed the hx
+                # carried through the epoch's earlier batches
+                # (embedding.py:345, 361) — replay the carry chain
+                hx = None
+                for _ in range(batch_num):
+                    output, hx = self.embed_state_fn(model, self.data, hx)
+            else:
+                output = self.embed_fn(model, self.data)
             if phase_times:
                 jax.block_until_ready(output)
                 print(f"  [phase] embed_fn: {time.time() - t_p:.2f}s")
@@ -303,7 +345,7 @@ class SupervisedEmbedding(BaseEmbedding):
     def __init__(self, base_path, origin_folder, embedding_folder, node_list,
                  model, classifier, forward_fn, loss_fn, embed_fn, data,
                  auc_fn=None, model_folder="model", mesh=None,
-                 time_length=None):
+                 time_length=None, state_init=None):
         super().__init__(base_path, origin_folder, embedding_folder,
                          node_list, model, model_folder=model_folder)
         self.classifier = classifier
@@ -314,6 +356,11 @@ class SupervisedEmbedding(BaseEmbedding):
         self.data = data
         self.mesh = mesh
         self.time_length = time_length
+        # VGRNN hx carry (reference embedding.py:238-263, 278): when set,
+        # forward_fn is stateful — (models, data, idx, key, hx) ->
+        # (preds, embs, aux, new_hx) — the state resets each epoch, flows
+        # train -> val, the best-on-val hx is kept, and test eval consumes it
+        self.state_init = state_init
 
     def learn_embedding(self, idx_train, label_train, mask_train, idx_val,
                         label_val, mask_val, idx_test, label_test, mask_test,
@@ -342,39 +389,72 @@ class SupervisedEmbedding(BaseEmbedding):
         optimizer = make_optimizer(lr, weight_decay)
         opt_state = optimizer.init(models)
         forward_fn, loss_fn = self.forward_fn, self.loss_fn
+        stateful = self.state_init is not None
 
-        @jax.jit
-        def train_step(models, opt_state, data, idx, labels, mask, key):
-            def objective(models):
-                preds, embs, aux = forward_fn(models, data, idx, key)
+        if stateful:
+            @jax.jit
+            def train_step(models, opt_state, data, idx, labels, mask, key,
+                           hx):
+                def objective(models):
+                    preds, embs, aux, h = forward_fn(models, data, idx, key,
+                                                     hx)
+                    loss, acc = loss_fn(preds, labels, mask, aux)
+                    return loss, (acc, preds, h)
+
+                (loss, (acc, preds, h)), grads = jax.value_and_grad(
+                    objective, has_aux=True)(models)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      models)
+                models = optax.apply_updates(models, updates)
+                return models, opt_state, loss, acc, preds, h
+
+            @jax.jit
+            def eval_step(models, data, idx, labels, mask, hx):
+                preds, embs, aux, h = forward_fn(models, data, idx, None, hx)
                 loss, acc = loss_fn(preds, labels, mask, aux)
-                return loss, (acc, preds)
+                return loss, acc, preds, h, embs
+        else:
+            @jax.jit
+            def train_step(models, opt_state, data, idx, labels, mask, key):
+                def objective(models):
+                    preds, embs, aux = forward_fn(models, data, idx, key)
+                    loss, acc = loss_fn(preds, labels, mask, aux)
+                    return loss, (acc, preds)
 
-            (loss, (acc, preds)), grads = jax.value_and_grad(
-                objective, has_aux=True)(models)
-            updates, opt_state = optimizer.update(grads, opt_state, models)
-            models = optax.apply_updates(models, updates)
-            return models, opt_state, loss, acc, preds
+                (loss, (acc, preds)), grads = jax.value_and_grad(
+                    objective, has_aux=True)(models)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      models)
+                models = optax.apply_updates(models, updates)
+                return models, opt_state, loss, acc, preds
 
-        @jax.jit
-        def eval_step(models, data, idx, labels, mask):
-            preds, embs, aux = forward_fn(models, data, idx, None)
-            loss, acc = loss_fn(preds, labels, mask, aux)
-            return loss, acc, preds
+            @jax.jit
+            def eval_step(models, data, idx, labels, mask):
+                preds, embs, aux = forward_fn(models, data, idx, None)
+                loss, acc = loss_fn(preds, labels, mask, aux)
+                return loss, acc, preds
 
         from ctgcn_tpu.training.profiling import EpochTracer
 
         tracer = EpochTracer(profile_dir, epoch)
         rng = jax.random.key(seed)
         best_acc, best_models = -1.0, models
+        best_hx = None
         st = time.time()
         for i in range(epoch):
             tracer.before_epoch(i)
             rng, k = jax.random.split(rng)
+            # hx resets at each epoch start (reference embedding.py:243)
+            hx = self.state_init(models[0], self.data) if stateful else None
             with tracer.annotate(i):
-                models, opt_state, loss_tr, acc_tr, _ = train_step(
-                    models, opt_state, self.data, idx_train, label_train,
-                    mask_train, k)
+                if stateful:
+                    models, opt_state, loss_tr, acc_tr, _, hx = train_step(
+                        models, opt_state, self.data, idx_train, label_train,
+                        mask_train, k, hx)
+                else:
+                    models, opt_state, loss_tr, acc_tr, _ = train_step(
+                        models, opt_state, self.data, idx_train, label_train,
+                        mask_train, k)
                 if tracer.active:
                     jax.block_until_ready(loss_tr)
             tracer.after_epoch(i)
@@ -382,8 +462,15 @@ class SupervisedEmbedding(BaseEmbedding):
                 if verbose:
                     print(f"Epoch: 1 loss_train: {float(loss_tr):.4f}")
                 continue
-            loss_val, acc_val, preds_val = eval_step(
-                models, self.data, idx_val, label_val, mask_val)
+            if stateful:
+                # the val forward consumes the train step's hx and advances
+                # it (reference embedding.py:254, 262: best_hx is the
+                # post-val state)
+                loss_val, acc_val, preds_val, hx, _ = eval_step(
+                    models, self.data, idx_val, label_val, mask_val, hx)
+            else:
+                loss_val, acc_val, preds_val = eval_step(
+                    models, self.data, idx_val, label_val, mask_val)
             if verbose:
                 msg = (f"Epoch: {i + 1} loss_train: {float(loss_tr):.4f} "
                        f"acc_train: {float(acc_tr):.4f} "
@@ -397,6 +484,7 @@ class SupervisedEmbedding(BaseEmbedding):
             if float(acc_val) > best_acc:
                 best_acc = float(acc_val)
                 best_models = models
+                best_hx = hx
                 if model_file:
                     save_params(models[0], model_path)
                 if classifier_file:
@@ -404,8 +492,18 @@ class SupervisedEmbedding(BaseEmbedding):
 
         tracer.close()
         models = best_models
-        loss_te, acc_te, preds_te = eval_step(models, self.data, idx_test,
-                                              label_test, mask_test)
+        test_embs = None
+        if stateful:
+            # test eval consumes the best-on-val hx (reference
+            # embedding.py:278); falls back to the zero state when no val
+            # epoch ever improved (epoch == 1)
+            if best_hx is None:
+                best_hx = self.state_init(models[0], self.data)
+            loss_te, acc_te, preds_te, _, test_embs = eval_step(
+                models, self.data, idx_test, label_test, mask_test, best_hx)
+        else:
+            loss_te, acc_te, preds_te = eval_step(
+                models, self.data, idx_test, label_test, mask_test)
         auc_te = (self.auc_fn(preds_te, label_test, mask_test)
                   if self.auc_fn is not None else float("nan"))
         print(f"Test set results: loss= {float(loss_te):.4f} "
@@ -413,7 +511,11 @@ class SupervisedEmbedding(BaseEmbedding):
         cost_time = time.time() - st
 
         if export:
-            output = self.embed_fn(models, self.data)
+            # VGRNN exports the test-forward embeddings (the reference's
+            # output_list comes from the best_hx test eval, embedding.py:278,
+            # 284); other methods export a fresh forward
+            output = (test_embs if test_embs is not None
+                      else self.embed_fn(models, self.data))
             self.save_embedding(output, start_idx)
         self.model, self.classifier = models
         return cost_time

@@ -353,31 +353,19 @@ def torch_scatter_shims():
     yield
 
 
-def test_vgrnn_parity(ref_path, torch_scatter_shims, monkeypatch):
+def _vgrnn_mapped_pair(rng, n, hid, dout, T):
+    """Torch VGRNN + weight-mapped jax VGRNN + a shared T-snapshot window.
+
+    Returns (t_model, ours, xs, t_x, t_edges, graphs, sp_adjs)."""
     import torch
     import scipy.sparse as ssp
-    import jax
-    import jax.numpy as jnp
     from baseline.vgrnn import VGRNN as RefVGRNN
     from ctgcn_tpu.nn.vgrnn import VGRNN, GraphConv, GraphGRU
-    from ctgcn_tpu.nn.layers import Linear
     from ctgcn_tpu.ops.sparse import from_scipy
-    from ctgcn_tpu.data.loader import stack_graphs
 
-    rng = np.random.RandomState(5)
-    # input_dim == n: the reference sizes its hidden state with x.size(1)
-    # (vgrnn.py:490 — the feature dim, not the node count), which only
-    # works because its driver feeds N×N identity features
-    n, hid, dout, T = 24, 10, 6, 3
     din = n
     t_model = RefVGRNN(din, hid, dout, rnn_layer_num=1, conv_type="GCN",
                        bias=True)
-    t_model.eval()
-    # determinize the reparameterization on both sides: eps == 0 → z = mean
-    monkeypatch.setattr(torch, "randn",
-                        lambda *s, **kw: torch.zeros(*s))
-    monkeypatch.setattr(jax.random, "normal",
-                        lambda key, shape, *a, **kw: jnp.zeros(shape))
 
     def map_lin(seq):
         return _map_linear(seq[0] if hasattr(seq, "__getitem__") else seq)
@@ -405,9 +393,10 @@ def test_vgrnn_parity(ref_path, torch_scatter_shims, monkeypatch):
             hh=tuple(map_conv(c) for c in t_rnn.weight_hh)),
         hidden_dim=hid, rnn_layer_num=1, conv_type="GCN")
 
-    xs, t_x, t_edges, graphs = [], [], [], []
+    xs, t_x, t_edges, graphs, sp_adjs = [], [], [], [], []
     for t in range(T):
         adj = _toy_adj(rng, n, p=0.2)
+        sp_adjs.append(adj)
         x = rng.randn(n, din).astype(np.float32)
         xs.append(x)
         t_x.append(torch.from_numpy(x))
@@ -422,6 +411,28 @@ def test_vgrnn_parity(ref_path, torch_scatter_shims, monkeypatch):
         dinv = np.where(d > 0, d ** -0.5, 0.0)
         D = ssp.diags(dinv)
         graphs.append(from_scipy((D @ M @ D).tocoo(), pad_to=1024))
+    return t_model, ours, xs, t_x, t_edges, graphs, sp_adjs
+
+
+def test_vgrnn_parity(ref_path, torch_scatter_shims, monkeypatch):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from ctgcn_tpu.data.loader import stack_graphs
+
+    rng = np.random.RandomState(5)
+    # input_dim == n: the reference sizes its hidden state with x.size(1)
+    # (vgrnn.py:490 — the feature dim, not the node count), which only
+    # works because its driver feeds N×N identity features
+    n, hid, dout, T = 24, 10, 6, 3
+    t_model, ours, xs, t_x, t_edges, graphs, _ = _vgrnn_mapped_pair(
+        rng, n, hid, dout, T)
+    t_model.eval()
+    # determinize the reparameterization on both sides: eps == 0 → z = mean
+    monkeypatch.setattr(torch, "randn",
+                        lambda *s, **kw: torch.zeros(*s))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape, *a, **kw: jnp.zeros(shape))
     with torch.no_grad():
         emb_list, h_ref, loss_data = t_model(t_x, t_edges)
     embs, h, (em, es, pm, ps, dec) = ours(jnp.asarray(np.stack(xs)),
@@ -436,6 +447,97 @@ def test_vgrnn_parity(ref_path, torch_scatter_shims, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(mine), np.stack([t.numpy() for t in theirs]),
             rtol=5e-4, atol=5e-5)
+
+
+def test_vgrnn_hx_carry_training_parity(ref_path, torch_scatter_shims,
+                                        monkeypatch):
+    """Multi-batch VGRNN semantics vs the torch trainer (VERDICT r3 #7).
+
+    The reference carries ``hx`` across the batch loop within an epoch
+    (embedding.py:342-346), resets it at each epoch start, and detaches it
+    at each re-entry (``Variable(hx)`` of a non-leaf tensor drops grad_fn).
+    This runs 2 epochs × 2 batches of the reference unsupervised loop
+    (embedding.py:340-355: per-batch backward accumulation + one Adam step
+    per epoch, VAELoss from metrics.py) against our stateful
+    ``_multi_epoch_step`` and compares per-batch losses and the final
+    forward."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from metrics import VAELoss as RefVAELoss
+    from ctgcn_tpu.data.loader import stack_graphs
+    from ctgcn_tpu.training.driver import (
+        _vae_loss_fn_stateful, _vgrnn_dense_bank, _vgrnn_state_init,
+        make_forward)
+    from ctgcn_tpu.training.engine import make_optimizer
+
+    rng = np.random.RandomState(11)
+    n, hid, dout, T = 24, 10, 6, 3
+    lr, eps = 1e-2, 1e-10
+    t_model, ours, xs, t_x, t_edges, graphs, sp_adjs = _vgrnn_mapped_pair(
+        rng, n, hid, dout, T)
+    # _to_jnp maps weights zero-copy (jnp.asarray of .numpy() aliases torch
+    # memory on CPU): torch Adam's in-place step() would silently mutate the
+    # mapped jax model — deep-copy before the torch side trains
+    ours = jax.tree.map(jnp.array, ours)
+    monkeypatch.setattr(torch, "randn", lambda *s, **kw: torch.zeros(*s))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape, *a, **kw: jnp.zeros(shape))
+
+    # --- torch side: the reference unsupervised loop, 2 epochs × 2 batches
+    t_adjs = [_torch_sparse(a) for a in sp_adjs]
+    loss_model = RefVAELoss(eps=eps)
+    opt = torch.optim.Adam(t_model.parameters(), lr=lr)
+    t_model.train()
+    t_losses = []
+    for _ in range(2):
+        hx = None
+        for j in range(2):
+            _, hx, loss_data = t_model(t_x, t_edges, hx)
+            loss = loss_model(loss_data + [t_adjs])
+            loss.backward()
+            if j == 1:  # gradient accumulation, one step per epoch
+                opt.step()
+                t_model.zero_grad()
+            t_losses.append(loss.item())
+
+    # --- our side: the engine's stateful multi-epoch step
+    from ctgcn_tpu.training.engine import _multi_epoch_step
+
+    fwd = make_forward("VGRNN")
+    data = {"xs": jnp.asarray(np.stack(xs)),
+            "vgrnn_adjs": stack_graphs(graphs)}
+    # dense VAE target from the RAW adjacency bank (driver convention)
+    from ctgcn_tpu.ops.sparse import from_scipy
+    raw = stack_graphs([from_scipy(a.tocoo(), pad_to=1024)
+                        for a in sp_adjs])
+    data["vae_adj_dense"] = _vgrnn_dense_bank(raw)
+    loss_fn = _vae_loss_fn_stateful(fwd, eps)
+    step = _multi_epoch_step(loss_fn, lr, 0.0, _vgrnn_state_init())
+    opt_state = make_optimizer(lr, 0.0).init(ours)
+    B = n // 2
+    batches = jnp.tile(jnp.arange(n).reshape(1, 2, B), (2, 1, 1))
+    masks = jnp.ones((2, 2, B), bool)
+    keys = jax.random.split(jax.random.key(0), 2)
+    ours2, _, losses = step(ours, opt_state, data, batches, masks, keys)
+
+    # per-epoch loss = sum of the two batch losses; batch 1 consumed the
+    # hx carried from batch 0, so a wrong carry shows up in epoch 0 already
+    np.testing.assert_allclose(
+        np.asarray(losses),
+        [t_losses[0] + t_losses[1], t_losses[2] + t_losses[3]],
+        rtol=2e-3)
+
+    # final models agree: deterministic forward after the two Adam steps
+    t_model.eval()
+    with torch.no_grad():
+        emb_list, h_ref, _ = t_model(t_x, t_edges)
+    embs, h, _ = ours2(data["xs"], data["vgrnn_adjs"])
+    np.testing.assert_allclose(
+        np.asarray(embs), np.stack([e.numpy() for e in emb_list]),
+        rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(h), h_ref.numpy(), rtol=5e-3,
+                               atol=5e-4)
 
 
 # ---------------------------------------------------------------------------

@@ -134,6 +134,23 @@ class DataLoader:
     # ------------------------------------------------------------------
     # k-core pyramids
     # ------------------------------------------------------------------
+    def get_core_scipy_list(self, core_base_path, start_idx, duration,
+                            max_core=-1):
+        """Raw scipy core matrices per snapshot, max-core-first (the
+        reference's truncate-to-max_core + reverse, helper.py:51-68) —
+        the host-side input for partitioned-pyramid builds
+        (parallel/core_partition.partition_pyramid_halo)."""
+        date_dirs = sorted_dir(core_base_path)
+        assert start_idx < len(date_dirs)
+        out = []
+        for i in self._window(start_idx, duration):
+            ddir = os.path.join(core_base_path, date_dirs[i])
+            f_list = sorted_dir(ddir)
+            mc = len(f_list) if max_core == -1 else max_core
+            f_list = f_list[:mc][::-1]  # max core first
+            out.append([sp.load_npz(os.path.join(ddir, f)) for f in f_list])
+        return out
+
     def get_core_adj_list(self, core_base_path, start_idx, duration,
                           max_core=-1, stacked=True,
                           dense_budget_bytes=4 << 30, core_backend="auto",
@@ -157,19 +174,8 @@ class DataLoader:
             shows it winning no cell at any N — blocks beat it wherever
             the bank fits and ELL beyond — so auto never selects it; the
             knob remains for reproducing the sweep."""
-        date_dirs = sorted_dir(core_base_path)
-        assert start_idx < len(date_dirs)
-        window = list(self._window(start_idx, duration))
-
-        per_snap_mats = []
-        for i in window:
-            ddir = os.path.join(core_base_path, date_dirs[i])
-            f_list = sorted_dir(ddir)
-            mc = len(f_list) if max_core == -1 else max_core
-            f_list = f_list[:mc][::-1]  # max core first
-            per_snap_mats.append(
-                [sp.load_npz(os.path.join(ddir, f)) for f in f_list])
-
+        per_snap_mats = self.get_core_scipy_list(core_base_path, start_idx,
+                                                 duration, max_core=max_core)
         num_slots = max(len(m) for m in per_snap_mats)
         # common capacity: +I on the first slot adds ≤ N entries
         max_nnz = max(

@@ -91,16 +91,37 @@ def get_input_data(method, idx, time_length, data_loader: DataLoader, args):
         #     TPU fast path; ~same AUC, see BASELINE_MEASURED.json).
         mm_prec = args.get("matmul_precision", "highest")
         assert mm_prec in ("highest", "high", "bf16"), mm_prec
-        adjs = data_loader.get_core_adj_list(
-            core_base_path, idx, time_length, max_core=args["max_core"],
-            core_backend=args.get("core_backend", "auto"),
-            dense_budget_bytes=args.get("dense_budget_bytes", 4 << 30),
-            dense_dtype=(jnp.bfloat16 if mm_prec == "bf16" else None),
-            dense_prec=("high" if mm_prec == "high" else "highest"),
-            # the mesh path needs window-uniform block shapes to shard the
-            # [T] axis; single-device keeps exact ragged shapes (5.1x
-            # fewer MACs on UCI — see stack_pyramids)
-            uniform_blocks=args.get("n_devices", 0) > 1)
+        if (args.get("graph_partition", False)
+                and args.get("n_devices", 0) > 1):
+            # config ``graph_partition`` for the flagship core methods:
+            # delta-encoded pyramid slots row-split over the mesh's
+            # ``graph`` axis with one shared halo plan per snapshot — a
+            # single Enron-scale snapshot spans chips
+            # (parallel/core_partition.halo_core_forward)
+            from ctgcn_tpu.parallel.core_partition import (
+                partition_pyramid_halo)
+
+            per_snap = data_loader.get_core_scipy_list(
+                args["core_base_path"], idx, time_length,
+                max_core=args["max_core"])
+            num_slots = max(len(m) for m in per_snap)
+            n_parts = min(args["n_devices"], len(jax.devices()))
+            args["_halo_adjs"] = tuple(
+                partition_pyramid_halo(mats, data_loader.node_num, n_parts,
+                                       num_slots=num_slots)
+                for mats in per_snap)
+            adjs = None
+        else:
+            adjs = data_loader.get_core_adj_list(
+                core_base_path, idx, time_length, max_core=args["max_core"],
+                core_backend=args.get("core_backend", "auto"),
+                dense_budget_bytes=args.get("dense_budget_bytes", 4 << 30),
+                dense_dtype=(jnp.bfloat16 if mm_prec == "bf16" else None),
+                dense_prec=("high" if mm_prec == "high" else "highest"),
+                # the mesh path needs window-uniform block shapes to shard
+                # the [T] axis; single-device keeps exact ragged shapes
+                # (5.1x fewer MACs on UCI — see stack_pyramids)
+                uniform_blocks=args.get("n_devices", 0) > 1)
     else:
         # GIN aggregates center+neighbors together (+I) when not learn_eps
         # (reference baseline/gin.py:120-133)
@@ -276,6 +297,12 @@ def make_forward(method, pipeline_mesh=None, halo_mesh=None, node_num=None):
         def fwd(model, data, key=None):
             return halo_gcn_forward(halo_mesh, model, data["xs"],
                                     data["halo_adjs"], node_num, key=key)
+    elif halo_mesh is not None and method in get_core_based_methods():
+        from ctgcn_tpu.parallel.core_partition import halo_core_forward
+
+        def fwd(model, data, key=None):
+            return halo_core_forward(halo_mesh, model, data["xs"],
+                                     data["halo_adjs"], node_num, key=key)
     elif pipeline_mesh is not None and method in ("CTGCN-C", "CTGCN-S"):
         from ctgcn_tpu.parallel.pipeline import ctgcn_pipelined_forward
 

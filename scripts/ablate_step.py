@@ -110,6 +110,10 @@ def main():
                    "fwd_loss - fwd_model = loss fwd; full - fwd_loss = "
                    "backward + Adam")
     print(json.dumps(res))
+    out_path = os.path.join(base, "..", "ablate_step.json")
+    with open(os.path.abspath(out_path), "w") as fp:
+        json.dump(res, fp, indent=1)
+    print("wrote", os.path.abspath(out_path))
 
 
 if __name__ == "__main__":

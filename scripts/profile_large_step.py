@@ -142,9 +142,31 @@ def main():
         results[tag] = round(dt * 1e3, 2)
         print(f"{tag:14s}: {dt * 1e3:9.1f} ms", flush=True)
 
+    # backward segmentation (VERDICT r3 #3): grads of nested prefixes.
+    # grad_x_spmm adds the SpMMᵀ pass to spmm_fwd; grad_diffusion adds the
+    # tril-prefix + core-GRU-scan + LayerNorm backward; loss_grad adds the
+    # MLP/time-RNN backward and any remat recompute — consecutive
+    # differences attribute the backward the same way the forward rows do.
+    def grad_x_spmm(pyr, x):
+        def obj(x):
+            out = spmm_fwd(pyr, x)
+            return jnp.mean(out * out)
+
+        return jax.value_and_grad(obj)(x)
+
+    def grad_diffusion(model, pyr, x):
+        def obj(mx):
+            m, x = mx
+            out = diffusion_fwd(m, pyr, x)
+            return jnp.mean(out * out)
+
+        return jax.value_and_grad(obj)((model, x))
+
     run("spmm_fwd", jax.jit(spmm_fwd), pyr, x)
     run("diffusion_fwd", jax.jit(diffusion_fwd), model, pyr, x)
     run("model_fwd", jax.jit(model_fwd), model, pyr)
+    run("grad_x_spmm", jax.jit(grad_x_spmm), pyr, x)
+    run("grad_diffusion", jax.jit(grad_diffusion), model, pyr, x)
     run("loss_grad", jax.jit(loss_grad), model, pyr, target)
     m2 = jax.tree.map(jnp.array, model)
     out = train_step(m2, opt_state, pyr, target)
@@ -170,6 +192,17 @@ def main():
             round(results["loss_grad"] - results["model_fwd"], 2),
         "adam (train_step - loss_grad)":
             round(results["train_step"] - results["loss_grad"], 2),
+    }
+    results["backward_attribution_ms"] = {
+        "spmmT (grad_x_spmm - spmm_fwd)":
+            round(results["grad_x_spmm"] - results["spmm_fwd"], 2),
+        "core_tail_bwd ((grad_diffusion - diffusion) - spmmT)":
+            round((results["grad_diffusion"] - results["diffusion_fwd"])
+                  - (results["grad_x_spmm"] - results["spmm_fwd"]), 2),
+        "mlp+time_rnn+remat ((loss_grad - model) - (grad_diff - diff))":
+            round((results["loss_grad"] - results["model_fwd"])
+                  - (results["grad_diffusion"] - results["diffusion_fwd"]),
+                  2),
     }
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "data", "profile_large_step.json")

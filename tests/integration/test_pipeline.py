@@ -170,6 +170,33 @@ def test_gcn_halo_partition_pipeline_matches_single_device(preprocessed):
 
 
 @pytest.mark.integration
+def test_ctgcn_c_halo_partition_pipeline_matches_single_device(preprocessed):
+    """graph_partition for the FLAGSHIP core methods (VERDICT r3 #6): the
+    delta-encoded pyramid slots row-split over the mesh's graph axis with
+    one shared halo plan (parallel/core_partition) must reproduce the
+    replicated single-device CTGCN-C run — same seed, reduction order and
+    the delta-vs-direct slot encoding are the only differences."""
+    from ctgcn_tpu.training.driver import gnn_embedding
+
+    common = dict(core_folder="cores", max_core=-1, trans_layer_num=1,
+                  diffusion_layer_num=2, model_type="C", rnn_type="GRU",
+                  trans_activate_type="L", seed=321)
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_halo1", model_file="ctgcn_halo1", **common))
+    gnn_embedding("CTGCN-C", _embed_args(
+        preprocessed, "CTGCN-C_halo8", model_file="ctgcn_halo8",
+        n_devices=8, graph_partition=True, **common))
+    d1 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_halo1")
+    d8 = os.path.join(preprocessed, "2.embedding", "CTGCN-C_halo8")
+    files = sorted(os.listdir(d1))
+    assert files == sorted(os.listdir(d8)) and len(files) == N_SNAPSHOTS
+    for f in files:
+        a = pd.read_csv(os.path.join(d1, f), sep="\t", index_col=0).values
+        b = pd.read_csv(os.path.join(d8, f), sep="\t", index_col=0).values
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.integration
 def test_link_prediction_end_to_end(preprocessed):
     from ctgcn_tpu.evaluation.link_prediction import link_prediction
 

@@ -185,3 +185,108 @@ def test_pipelined_rnn_scan_grads(rng):
     for a, b in zip(jax.tree.leaves(g_pipe), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned k-core pyramid diffusion (parallel/core_partition — the
+# flagship's graph_partition path, VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+def _core_mats(rng, n, ks=(3, 2, 1)):
+    dense = (rng.rand(n, n) < 0.2).astype(np.float32)
+    dense = np.triu(dense, 1)
+    dense = dense + dense.T
+    A = sp.csr_matrix(dense)
+    deg = np.asarray(A.sum(1)).flatten()
+    mats = []
+    for k in ks:  # max core first
+        keep = (deg >= k).astype(np.float32)
+        mats.append(sp.csr_matrix(
+            A.multiply(keep[:, None]).multiply(keep[None, :])))
+    return mats
+
+
+@needs_8
+@pytest.mark.parametrize("rnn_type", ["GRU", "LSTM"])
+def test_partitioned_core_diffusion_matches_single_device(rng, rnn_type):
+    from ctgcn_tpu.nn.core_models import CoreDiffusion
+    from ctgcn_tpu.ops.pyramid import build_core_pyramid
+    from ctgcn_tpu.parallel.core_partition import (
+        partition_pyramid_halo, partitioned_core_diffusion)
+
+    n, d, H = 50, 16, 12
+    mats = _core_mats(rng, n)
+    pyr = build_core_pyramid(mats, n)
+    layer = CoreDiffusion.init(jax.random.key(0), d, H, rnn_type=rnn_type)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    ref = layer(x, pyr)
+
+    mesh = make_mesh(8, axis_name="graph")
+    ppyr = partition_pyramid_halo(mats, n, 8)
+    xpad = jnp.pad(x, ((0, ppyr.n_rows - n), (0, 0)))
+    got = jax.jit(lambda l, xx: partitioned_core_diffusion(
+        mesh, l, xx, ppyr))(layer, xpad)[:n]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+@needs_8
+def test_partitioned_core_diffusion_grads(rng):
+    from ctgcn_tpu.nn.core_models import CoreDiffusion
+    from ctgcn_tpu.ops.pyramid import build_core_pyramid
+    from ctgcn_tpu.parallel.core_partition import (
+        partition_pyramid_halo, partitioned_core_diffusion)
+
+    n, d, H = 50, 16, 12
+    mats = _core_mats(rng, n)
+    pyr = build_core_pyramid(mats, n)
+    layer = CoreDiffusion.init(jax.random.key(0), d, H)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    mesh = make_mesh(8, axis_name="graph")
+    ppyr = partition_pyramid_halo(mats, n, 8)
+    xpad = jnp.pad(x, ((0, ppyr.n_rows - n), (0, 0)))
+
+    def loss_ref(l, x):
+        return jnp.sum(jnp.tanh(l(x, pyr)))
+
+    def loss_gp(l, xx):
+        return jnp.sum(jnp.tanh(partitioned_core_diffusion(
+            mesh, l, xx, ppyr)[:n]))
+
+    gl_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(layer, x)
+    gl_g, gx_g = jax.jit(jax.grad(loss_gp, argnums=(0, 1)))(layer, xpad)
+    np.testing.assert_allclose(np.asarray(gx_g[:n]), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gl_g), jax.tree.leaves(gl_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+@needs_8
+def test_halo_core_forward_cgcn_s_matches_model(rng):
+    """The S-variant partitioned forward returns (embs, trans) matching the
+    replicated CGCN-S model (delta-encoded slots vs direct bank)."""
+    from ctgcn_tpu.nn.core_models import CGCN
+    from ctgcn_tpu.ops.pyramid import build_core_pyramid, stack_pyramids
+    from ctgcn_tpu.parallel.core_partition import (
+        halo_core_forward, partition_pyramid_halo)
+
+    n, T = 50, 2
+    mats_t = [_core_mats(rng, n) for _ in range(T)]
+    cap = max(max(m.nnz for m in mats) for mats in mats_t) + n
+    pyrs = stack_pyramids([
+        build_core_pyramid(mats, n, num_slots=3, pad_to=cap)
+        for mats in mats_t])
+    model = CGCN.init(jax.random.key(2), input_dim=n, hidden_dim=10,
+                      output_dim=8, trans_num=2, diffusion_num=2,
+                      model_type="S", trans_activate_type="N")
+    ref_embs, ref_trans = model(None, pyrs)
+
+    mesh = make_mesh(8, axis_name="graph")
+    ppyrs = tuple(partition_pyramid_halo(mats, n, 8) for mats in mats_t)
+    got_embs, got_trans = jax.jit(lambda m: halo_core_forward(
+        mesh, m, None, ppyrs, n))(model)
+    np.testing.assert_allclose(np.asarray(got_trans), np.asarray(ref_trans),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_embs), np.asarray(ref_embs),
+                               rtol=2e-4, atol=2e-5)

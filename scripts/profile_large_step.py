@@ -155,9 +155,19 @@ def main():
         return jax.value_and_grad(obj)(x)
 
     def grad_diffusion(model, pyr, x):
+        # per-snapshot checkpoint mirrors the model's over-budget remat
+        # (without it the non-remat lax.map backward would hold ~27 GB of
+        # [K, N, *] residuals at this scale)
+        from ctgcn_tpu.nn.core_models import _remat
+
         def obj(mx):
             m, x = mx
-            out = diffusion_fwd(m, pyr, x)
+
+            def per_t(cdn, p):
+                return cdn(x, p)
+
+            out = jax.lax.map(lambda a: _remat(per_t)(*a),
+                              (m.cdns, pyr))
             return jnp.mean(out * out)
 
         return jax.value_and_grad(obj)((model, x))

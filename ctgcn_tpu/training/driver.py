@@ -585,11 +585,19 @@ def gnn_embedding(method, args):
         fwd = make_forward(method, pipeline_mesh=pipeline_mesh,
                            halo_mesh=halo_mesh,
                            node_num=data_loader.node_num)
+        # every window overwrites the SAME model file (reference
+        # embedding.py:363 — only the last window's save survives), and a
+        # params pull through the relay runs at ~2 MB/s, so skip the
+        # redundant intermediate saves unless the run reloads them
+        # (load_model) — ~4 min/window saved at math scale (254 MB params)
+        is_last = idx + step >= end_idx
+        window_model_file = (model_file if (is_last or load_model)
+                             else None)
         cost = _run_window(method, model, fwd, data, data_loader, args, idx,
                            time_length, edge_list, learning_type, base_path,
                            origin_folder, embedding_folder, node_list,
-                           model_folder, model_file, epoch, batch_size, lr,
-                           weight_decay, load_model, shuffle, export,
+                           model_folder, window_model_file, epoch, batch_size,
+                           lr, weight_decay, load_model, shuffle, export,
                            seed + widx, mesh)
         time_list.append(cost)
         if record_time:

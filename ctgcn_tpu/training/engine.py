@@ -485,13 +485,19 @@ class SupervisedEmbedding(BaseEmbedding):
                 best_acc = float(acc_val)
                 best_models = models
                 best_hx = hx
-                if model_file:
-                    save_params(models[0], model_path)
-                if classifier_file:
-                    save_params(models[1], cls_path)
 
         tracer.close()
         models = best_models
+        # ONE save of the best-on-val params after the loop instead of a
+        # save per improving epoch: the final artifact is identical (the
+        # reference's repeated torch.save calls each overwrite the same
+        # file) but a device->host params pull through the relay runs at
+        # ~2 MB/s — per-epoch saves at enron scale (~870 MB of params)
+        # would dominate the whole run
+        if model_file:
+            save_params(models[0], model_path)
+        if classifier_file and models[1] is not None:
+            save_params(models[1], cls_path)
         test_embs = None
         if stateful:
             # test eval consumes the best-on-val hx (reference

@@ -155,11 +155,14 @@ class CoreDiffusion:
             norm=LayerNorm.init(output_dim),
         )
 
-    def __call__(self, x, pyramid: CorePyramid):
-        """The reference's sequential per-core loop (layers.py:41-47) is a
-        prefix sum of independent per-core SpMMs — here all K products run
-        as one batched op, then a cumulative sum along the core axis (an
-        invalid slot contributes zero, which IS the pass-through)."""
+    def _contribs(self, x, pyramid: CorePyramid):
+        """The K per-slot SpMM products ([K, n, d] f32, +I folded in,
+        valid-masked, checkpoint-named) plus ``xp`` — the input in the
+        backend's node order (blocks permute; the delta tail re-adds it).
+        No layer parameters are read here: the contribs depend only on the
+        pyramid and ``x``, which is what lets the ragged-blocks window
+        driver compute them per snapshot while batching the parametrized
+        tail across T (see _ragged_blocks_cdn_window)."""
         n = pyramid.n_nodes
         K = pyramid.num_slots
 
@@ -243,6 +246,17 @@ class CoreDiffusion:
         # the gathers in backward cost ~2x at Facebook scale
         contribs = jax.ad_checkpoint.checkpoint_name(contribs, "spmm_out")
         contribs = contribs * pyramid.valid[:, None, None]
+        xp_out = xp if pyramid.blocks is not None else x
+        return contribs, xp_out
+
+    def _tail(self, contribs, valid, delta, xp, t_batch=1):
+        """prefix accumulation + ReLU + core-axis RNN + LayerNorm on the
+        [K, n, d] contribs.  ``delta``: the contribs are Δ-encoded ELL
+        products (reconstruct prefixes with L·L and re-add the +I as
+        "+ xp").  ``t_batch``: how many instances run batched under vmap —
+        scales the residual-budget check for the T-batched window tail."""
+        K = contribs.shape[0]
+        n = contribs.shape[1]
         # prefix accumulation over the K core slots as a lower-triangular
         # [K, K] matmul rather than jnp.cumsum: the cumsum forces XLA into
         # a different [T, K, N, d] layout than the SpMM/GRU dots around it,
@@ -250,19 +264,19 @@ class CoreDiffusion:
         # v5e); the matmul form stays in the dot pipeline's layout.  K <= 16
         # so the extra K^2 N d FLOPs are noise at any graph scale.
         lower = jnp.tril(jnp.ones((K, K), jnp.float32))
-        if pyramid.ell_fwd is not None and pyramid.ell_delta:
+        if delta:
             # delta-encoded slots: contribs[k] = Δ_k @ x, so slot products
             # are A_j @ x = Σ_{i≤j} Δ_i @ x and the masked prefix becomes
             # acc_k = Σ_{j≤k} A_j @ x = (L·L) @ contribs (exact — L entries
             # are small ints); the +I the bank baked into slot 0 comes back
-            # as "+ x" on every prefix row (L[k,0] = 1 ∀k)
+            # as "+ xp" on every prefix row (L[k,0] = 1 ∀k)
             lower = jnp.matmul(lower, lower,
                                precision=jax.lax.Precision.HIGHEST)
         acc = jax.lax.dot_general(
             lower, contribs, dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
-        if pyramid.ell_fwd is not None and pyramid.ell_delta:
-            acc = acc + x.astype(jnp.float32)[None]
+        if delta:
+            acc = acc + xp.astype(jnp.float32)[None]
         # relu + RNN over the core axis: batched tail for small windows
         # (hoisted gi matmul, best at UCI scale), checkpointed scan tail
         # when the batched residuals ([K,N,d]+[K,N,3H]+gate internals)
@@ -272,17 +286,71 @@ class CoreDiffusion:
         # LSTM tails materialize 4H gate projections plus both h and c
         # carries (~9H per node) vs the GRU's 3H + h (~7H)
         per_h = 9 if isinstance(self.rnn, LSTMCell) else 7
-        tail_bytes = 4 * K * n * (2 * d_in + per_h * H)
+        tail_bytes = 4 * K * n * (2 * d_in + per_h * H) * t_batch
         if tail_bytes > _core_rnn_budget_bytes():
-            outs = _core_rnn_scan_remat(self.rnn, acc, pyramid.valid)
+            outs = _core_rnn_scan_remat(self.rnn, acc, valid)
         else:
-            hx = jax.nn.relu(acc) * pyramid.valid[:, None, None]
+            hx = jax.nn.relu(acc) * valid[:, None, None]
             # hx: [K, N, in]; RNN over core axis with packed-seq masking
-            outs, _ = rnn_scan(self.rnn, hx, mask=pyramid.valid)
-        out = self.norm(outs.sum(axis=0))
+            outs, _ = rnn_scan(self.rnn, hx, mask=valid)
+        return self.norm(outs.sum(axis=0))
+
+    def __call__(self, x, pyramid: CorePyramid):
+        """The reference's sequential per-core loop (layers.py:41-47) is a
+        prefix sum of independent per-core SpMMs — here all K products run
+        as one batched op, then a cumulative sum along the core axis (an
+        invalid slot contributes zero, which IS the pass-through)."""
+        contribs, xp = self._contribs(x, pyramid)
+        delta = pyramid.ell_fwd is not None and pyramid.ell_delta
+        out = self._tail(contribs, pyramid.valid, delta, xp)
         if pyramid.blocks is not None:
             out = jnp.take(out, pyramid.inv_perm, axis=0)
         return out
+
+
+def _ragged_blocks_cdn_window(cdn, h, pyramids, stacked_params):
+    """All T snapshots of a ragged-blocks window through one CDN, with the
+    tail batched across time.
+
+    The blocks backend keeps exact per-snapshot block shapes (window-max
+    padding costs 5.1x the MACs on UCI — ops/pyramid.stack_pyramids), so
+    the SpMMs must stay unrolled over t.  But the prefix/ReLU/core-RNN/
+    LayerNorm tail has UNIFORM [K, N, d] shapes across t, and unrolling it
+    too made every window run 2·T·L separate K-step core-axis scans
+    (T=7, L=2, K=16 on UCI: ~224 sequential GRU steps — the dominant cost
+    of the latency-bound small-graph train step).  Here each layer runs
+    ONE tail vmapped over t (2·L scans, ~32 sequential steps): identical
+    math, T-batched matmuls.
+
+    ``stacked_params``: the CDN's leaves carry a leading [T] axis (CTGCN's
+    per-timestep distinct parameters, reference models.py:222-231) — the
+    tail vmaps over them; otherwise one parameter set is shared across t
+    (CGCN).  Returns [T, N, out] in original node order.
+    """
+    from ctgcn_tpu.ops.pyramid import pyramid_at
+
+    T = len(pyramids.blocks)
+    for li in range(len(cdn.layers)):
+        layer = cdn.layers[li]
+        cs = []
+        for t in range(T):
+            p = pyramid_at(pyramids, t)
+            layer_t = (jax.tree.map(lambda l: l[t], layer)
+                       if stacked_params else layer)
+            c, _ = layer_t._contribs(h[t], p)
+            cs.append(c)
+        contribs = jnp.stack(cs)                       # [T, K, N, d]
+        if stacked_params:
+            outs = jax.vmap(
+                lambda lyr, c, v: lyr._tail(c, v, False, None, t_batch=T)
+            )(layer, contribs, pyramids.valid)
+        else:
+            outs = jax.vmap(
+                lambda c, v: layer._tail(c, v, False, None, t_batch=T)
+            )(contribs, pyramids.valid)
+        # per-t un-permute back to node order (perm differs per snapshot)
+        h = jnp.take_along_axis(outs, pyramids.inv_perm[:, :, None], axis=1)
+    return h
 
 
 @struct.dataclass
@@ -372,12 +440,18 @@ class CGCN:
         (the mesh path)."""
         if pyramids.blocks is not None and isinstance(pyramids.blocks[0],
                                                       tuple):
-            from ctgcn_tpu.ops.pyramid import pyramid_at
-
-            res = [self.single(None if xs is None else xs[t],
-                               pyramid_at(pyramids, t))
-                   for t in range(len(pyramids.blocks))]
-            return jax.tree.map(lambda *a: jnp.stack(a), *res)
+            # ragged per-snapshot block shapes: SpMMs unroll over t, the
+            # parametrized tail batches across t (see
+            # _ragged_blocks_cdn_window)
+            T = len(pyramids.blocks)
+            trans = jnp.stack([
+                _mlp_maybe_identity(self.mlp, None if xs is None else xs[t])
+                for t in range(T)])
+            embs = _ragged_blocks_cdn_window(self.cdn, trans, pyramids,
+                                             stacked_params=False)
+            if self.model_type == "S":
+                return embs, trans
+            return embs
         use_map = pyramids.plan_fwd is not None
         remat = _window_act_bytes(self.cdn, pyramids) > _act_budget_bytes()
         use_map |= remat
@@ -447,17 +521,17 @@ class CTGCN:
 
         if pyramids.blocks is not None and isinstance(pyramids.blocks[0],
                                                       tuple):
-            # ragged per-snapshot block shapes: unroll over t (T <= ~15)
-            from ctgcn_tpu.ops.pyramid import pyramid_at
-
-            res = []
-            for t in range(len(pyramids.blocks)):
-                mlp_t = jax.tree.map(lambda l: l[t], self.mlps)
-                cdn_t = jax.tree.map(lambda l: l[t], self.cdns)
-                res.append(per_t(mlp_t, cdn_t,
-                                 None if xs is None else xs[t],
-                                 pyramid_at(pyramids, t)))
-            return jax.tree.map(lambda *a: jnp.stack(a), *res)
+            # ragged per-snapshot block shapes: SpMMs unroll over t
+            # (T <= ~15), the per-timestep-parametrized tail batches
+            # across t (see _ragged_blocks_cdn_window)
+            T = len(pyramids.blocks)
+            trans = jnp.stack([
+                _mlp_maybe_identity(jax.tree.map(lambda l: l[t], self.mlps),
+                                    None if xs is None else xs[t])
+                for t in range(T)])
+            hx = _ragged_blocks_cdn_window(self.cdns, trans, pyramids,
+                                           stacked_params=True)
+            return hx, trans
         use_map = pyramids.plan_fwd is not None
         remat = _window_act_bytes(self.cdns, pyramids) > _act_budget_bytes()
         use_map |= remat

@@ -287,7 +287,13 @@ class CoreDiffusion:
         # carries (~9H per node) vs the GRU's 3H + h (~7H)
         per_h = 9 if isinstance(self.rnn, LSTMCell) else 7
         tail_bytes = 4 * K * n * (2 * d_in + per_h * H) * t_batch
-        if tail_bytes > _core_rnn_budget_bytes():
+        # the T-batched window tail's residuals are window-scoped — gate
+        # them on the window activation budget (the per-snapshot knob
+        # guards the serialized lax.map/ELL path, where it bounds ONE
+        # snapshot's recompute residuals at a time)
+        budget = (_act_budget_bytes() if t_batch > 1
+                  else _core_rnn_budget_bytes())
+        if tail_bytes > budget:
             outs = _core_rnn_scan_remat(self.rnn, acc, valid)
         else:
             hx = jax.nn.relu(acc) * valid[:, None, None]

@@ -74,38 +74,63 @@ def _core_rnn_budget_bytes():
     return int(os.environ.get("CTGCN_TPU_CORE_RNN_BUDGET", 512 << 20))
 
 
-def _core_rnn_scan_remat(cell, acc, valid):
-    """Memory-lean tail of CoreDiffusion: relu+mask+RNN over the core axis
-    as one checkpointed scan.
+def _core_rnn_scan_remat(cell, contribs, valid, delta=False, xp=None):
+    """Memory-lean tail of CoreDiffusion: prefix accumulation + relu+mask
+    + RNN over the core axis as one checkpointed scan.
 
-    Numerically equivalent to ``rnn_scan(cell, relu(acc)*valid,
-    mask=valid)`` (packed-sequence semantics: invalid slots pass the carry
-    through and emit zeros) but the ReLU and the input projection live
-    INSIDE the rematted step, so backward residuals are ``acc`` (the scan
-    xs) and the inter-step carries — not the [K, N, d_in] hx, [K, N, 3H]
-    gi_all, and per-gate internals the batched tail keeps."""
-    n = acc.shape[1]
+    Numerically equivalent (up to f32 reassociation) to materializing the
+    prefix ``acc = L @ contribs`` (or ``(L·L) @ contribs + xp`` for
+    delta-encoded slots) and running ``rnn_scan(cell, relu(acc)*valid,
+    mask=valid)`` — but the prefix is a RUNNING SUM, so it lives as
+    [N, d] carries inside the scan instead of a second [K, N, d] buffer:
+    at Enron scale (K=22, N=87k, d=500) that removes two 3.8 GB
+    materializations (acc + its cotangent) from the per-snapshot remat
+    peak, the difference between the largest reference regime fitting a
+    16 GB v5e and OOMing.  The ReLU and the input projection also live
+    INSIDE the rematted step, so backward residuals are ``contribs`` (the
+    scan xs) and the inter-step carries — not the [K, N, d_in] hx,
+    [K, N, 3H] gi_all, and per-gate internals the batched tail keeps.
+
+    ``delta``: contribs[k] = Δ_k @ x (ops/ell.build_pyramid_ell_plans), so
+    the slot product A_k_raw @ x is itself a prefix — two nested running
+    sums (s_k = s_{k-1} + c_k; acc_k = acc_{k-1} + s_k, acc initialized to
+    ``xp`` = the +I the bank baked into slot 0, reference helper.py:71-73).
+    An invalid (delta-skip) slot has c_k = 0 → both sums pass through,
+    which IS the reference's skip."""
+    n = contribs.shape[1]
     H = cell.hidden_dim
     is_lstm = isinstance(cell, LSTMCell)
-    h0 = jnp.zeros((n, H), acc.dtype)
-    carry0 = (h0, h0) if is_lstm else h0
+    h0 = jnp.zeros((n, H), contribs.dtype)
+    rnn0 = (h0, h0) if is_lstm else h0
     valid = valid.astype(bool)
+    if delta:
+        acc0 = xp.astype(contribs.dtype)
+        carry0 = (rnn0, jnp.zeros_like(contribs[0]), acc0)
+    else:
+        carry0 = (rnn0, jnp.zeros_like(contribs[0]))
 
     @jax.checkpoint
     def step(carry, inp):
-        acc_k, v = inp
-        hx = jax.nn.relu(acc_k) * v
-        new = cell(carry, hx)
+        c_k, v = inp
+        if delta:
+            rnnc, s, acc = carry
+            s = s + c_k
+            acc = acc + s
+        else:
+            rnnc, acc = carry
+            acc = acc + c_k
+        hx = jax.nn.relu(acc) * v
+        new = cell(rnnc, hx)
         if is_lstm:
             new = tuple(jnp.where(v, nw, old)
-                        for nw, old in zip(new, carry))
+                        for nw, old in zip(new, rnnc))
             out = jnp.where(v, new[0], 0.0)
         else:
-            new = jnp.where(v, new, carry)
+            new = jnp.where(v, new, rnnc)
             out = jnp.where(v, new, 0.0)
-        return new, out
+        return ((new, s, acc) if delta else (new, acc)), out
 
-    _, outs = jax.lax.scan(step, carry0, (acc, valid))
+    _, outs = jax.lax.scan(step, carry0, (contribs, valid))
     return outs
 
 
@@ -257,31 +282,7 @@ class CoreDiffusion:
         scales the residual-budget check for the T-batched window tail."""
         K = contribs.shape[0]
         n = contribs.shape[1]
-        # prefix accumulation over the K core slots as a lower-triangular
-        # [K, K] matmul rather than jnp.cumsum: the cumsum forces XLA into
-        # a different [T, K, N, d] layout than the SpMM/GRU dots around it,
-        # costing ~5 ms/step of pure relayout copies at UCI scale (profiled
-        # v5e); the matmul form stays in the dot pipeline's layout.  K <= 16
-        # so the extra K^2 N d FLOPs are noise at any graph scale.
-        lower = jnp.tril(jnp.ones((K, K), jnp.float32))
-        if delta:
-            # delta-encoded slots: contribs[k] = Δ_k @ x, so slot products
-            # are A_j @ x = Σ_{i≤j} Δ_i @ x and the masked prefix becomes
-            # acc_k = Σ_{j≤k} A_j @ x = (L·L) @ contribs (exact — L entries
-            # are small ints); the +I the bank baked into slot 0 comes back
-            # as "+ xp" on every prefix row (L[k,0] = 1 ∀k)
-            lower = jnp.matmul(lower, lower,
-                               precision=jax.lax.Precision.HIGHEST)
-        acc = jax.lax.dot_general(
-            lower, contribs, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
-        if delta:
-            acc = acc + xp.astype(jnp.float32)[None]
-        # relu + RNN over the core axis: batched tail for small windows
-        # (hoisted gi matmul, best at UCI scale), checkpointed scan tail
-        # when the batched residuals ([K,N,d]+[K,N,3H]+gate internals)
-        # would blow the per-layer budget (see _core_rnn_budget_bytes)
-        d_in = acc.shape[-1]
+        d_in = contribs.shape[-1]
         H = self.rnn.hidden_dim
         # LSTM tails materialize 4H gate projections plus both h and c
         # carries (~9H per node) vs the GRU's 3H + h (~7H)
@@ -294,8 +295,33 @@ class CoreDiffusion:
         budget = (_act_budget_bytes() if t_batch > 1
                   else _core_rnn_budget_bytes())
         if tail_bytes > budget:
-            outs = _core_rnn_scan_remat(self.rnn, acc, valid)
+            # memory-lean path: the prefix fuses into the checkpointed
+            # scan as [N, d] running-sum carries — no [K, N, d] acc
+            # buffer (see _core_rnn_scan_remat)
+            outs = _core_rnn_scan_remat(self.rnn, contribs, valid, delta,
+                                        xp)
         else:
+            # prefix accumulation over the K core slots as a lower-
+            # triangular [K, K] matmul rather than jnp.cumsum: the cumsum
+            # forces XLA into a different [T, K, N, d] layout than the
+            # SpMM/GRU dots around it, costing ~5 ms/step of pure relayout
+            # copies at UCI scale (profiled v5e); the matmul form stays in
+            # the dot pipeline's layout.  K <= 16 so the extra K^2 N d
+            # FLOPs are noise at this scale.
+            lower = jnp.tril(jnp.ones((K, K), jnp.float32))
+            if delta:
+                # delta-encoded slots: contribs[k] = Δ_k @ x, so slot
+                # products are A_j @ x = Σ_{i≤j} Δ_i @ x and the masked
+                # prefix becomes acc_k = Σ_{j≤k} A_j @ x = (L·L) @ contribs
+                # (exact — L entries are small ints); the +I the bank baked
+                # into slot 0 comes back as "+ xp"
+                lower = jnp.matmul(lower, lower,
+                                   precision=jax.lax.Precision.HIGHEST)
+            acc = jax.lax.dot_general(
+                lower, contribs, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            if delta:
+                acc = acc + xp.astype(jnp.float32)[None]
             hx = jax.nn.relu(acc) * valid[:, None, None]
             # hx: [K, N, in]; RNN over core axis with packed-seq masking
             outs, _ = rnn_scan(self.rnn, hx, mask=valid)

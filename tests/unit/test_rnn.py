@@ -80,37 +80,53 @@ def test_masked_scan_equals_packed_sequence(rng):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("delta", [False, True])
 @pytest.mark.parametrize("rnn_type", ["GRU", "LSTM"])
-def test_core_rnn_scan_remat_matches_batched_tail(rnn_type, rng):
-    """The memory-lean checkpointed-scan tail of CoreDiffusion must be
-    numerically equivalent (values AND grads) to the batched
-    relu+mask+rnn_scan tail it replaces in the over-budget regime."""
+def test_core_rnn_scan_remat_matches_batched_tail(rnn_type, delta, rng):
+    """The memory-lean checkpointed-scan tail of CoreDiffusion (prefix
+    accumulation fused into the scan as running-sum carries) must be
+    numerically equivalent (values AND grads) to the batched tail it
+    replaces in the over-budget regime: materialize the tril-matmul
+    prefix (L, or L·L "+ xp" for delta-encoded slots), relu+mask, then
+    rnn_scan."""
     from ctgcn_tpu.nn.core_models import _core_rnn_scan_remat
 
     K, n, d, H = 6, 23, 10, 7
     cell = (GRUCell if rnn_type == "GRU" else LSTMCell).init(
         jax.random.key(3), d, H)
-    acc = jnp.asarray(rng.standard_normal((K, n, d)), jnp.float32)
-    valid = jnp.asarray([True, True, False, True, False, True])
+    contribs = jnp.asarray(rng.standard_normal((K, n, d)), jnp.float32)
+    # delta plans require prefix validity (build_core_pyramid compacts)
+    valid = (jnp.asarray([True] * 4 + [False] * 2) if delta
+             else jnp.asarray([True, True, False, True, False, True]))
+    contribs = contribs * valid[:, None, None]
+    xp = (jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+          if delta else None)
 
-    def batched(cell, acc):
+    def batched(cell, contribs):
+        lower = jnp.tril(jnp.ones((K, K), jnp.float32))
+        if delta:
+            lower = lower @ lower
+        acc = jnp.einsum("ij,jnd->ind", lower, contribs)
+        if delta:
+            acc = acc + xp[None]
         hx = jax.nn.relu(acc) * valid[:, None, None]
         outs, _ = rnn_scan(cell, hx, mask=valid)
         return outs
 
-    ref = batched(cell, acc)
-    got = _core_rnn_scan_remat(cell, acc, valid)
+    ref = batched(cell, contribs)
+    got = _core_rnn_scan_remat(cell, contribs, valid, delta, xp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-6, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)
 
-    def loss_b(cell, acc):
-        return jnp.sum(batched(cell, acc) ** 2)
+    def loss_b(cell, contribs):
+        return jnp.sum(batched(cell, contribs) ** 2)
 
-    def loss_s(cell, acc):
-        return jnp.sum(_core_rnn_scan_remat(cell, acc, valid) ** 2)
+    def loss_s(cell, contribs):
+        return jnp.sum(
+            _core_rnn_scan_remat(cell, contribs, valid, delta, xp) ** 2)
 
-    gb = jax.grad(loss_b, argnums=(0, 1))(cell, acc)
-    gs = jax.grad(loss_s, argnums=(0, 1))(cell, acc)
+    gb = jax.grad(loss_b, argnums=(0, 1))(cell, contribs)
+    gs = jax.grad(loss_s, argnums=(0, 1))(cell, contribs)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5), gs, gb)

@@ -515,6 +515,15 @@ def gnn_embedding(method, args):
     record_time = args.get("record_time", False)
     weight_decay = args.get("weight_decay", 0.0)
     seed = args.get("seed", 0)
+    # over-budget backward policy for core methods (nn.core_models._remat):
+    # "full" (default — the only footprint that fits the largest regimes)
+    # or "save_spmm" (keep SpMM outputs resident, skip their backward
+    # recompute — measured 905->754 ms on the Facebook-scale step where
+    # HBM allows).  Read at trace time, so set before any model build.
+    remat_policy = args.get("remat_policy")
+    if remat_policy:
+        assert remat_policy in ("full", "save_spmm"), remat_policy
+        os.environ["CTGCN_TPU_REMAT_POLICY"] = remat_policy
 
     data_loader = get_data_loader(args)
     max_time_num = data_loader.max_time_num

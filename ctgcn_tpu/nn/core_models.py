@@ -100,18 +100,22 @@ def _core_rnn_scan_remat(cell, contribs, valid, delta=False, xp=None):
     n = contribs.shape[1]
     H = cell.hidden_dim
     is_lstm = isinstance(cell, LSTMCell)
-    h0 = jnp.zeros((n, H), contribs.dtype)
+    h0 = jnp.zeros((n, H), jnp.float32)
     rnn0 = (h0, h0) if is_lstm else h0
     valid = valid.astype(bool)
+    # running sums carry f32 regardless of the contribs storage dtype
+    # (bf16 under the ell_bf16 knob): each step upcasts its slot product
+    sum0 = jnp.zeros(contribs.shape[1:], jnp.float32)
     if delta:
-        acc0 = xp.astype(contribs.dtype)
-        carry0 = (rnn0, jnp.zeros_like(contribs[0]), acc0)
+        acc0 = xp.astype(jnp.float32)
+        carry0 = (rnn0, sum0, acc0)
     else:
-        carry0 = (rnn0, jnp.zeros_like(contribs[0]))
+        carry0 = (rnn0, sum0)
 
     @jax.checkpoint
     def step(carry, inp):
         c_k, v = inp
+        c_k = c_k.astype(jnp.float32)
         if delta:
             rnnc, s, acc = carry
             s = s + c_k
@@ -246,6 +250,15 @@ class CoreDiffusion:
             contribs = ell_spmm(pyramid.ell_fwd, pyramid.ell_t,
                                 x.astype(jnp.float32),
                                 pyramid.ell_bf16).reshape(K, n, -1)
+            if pyramid.ell_bf16:
+                # bf16 knob also STORES the slot products in bf16 (sums
+                # still accumulate f32 inside the gather kernel; the tail
+                # prefix accumulates f32 carries).  This halves the three
+                # [K, N, d] giants of the remat backward — contribs, its
+                # cotangent, and XLA's layout copy — which is what lets an
+                # Enron-scale snapshot (K=22, N=87k: 3×3.6 GB in f32, OOM
+                # at 24.3/15.75 GB) fit the 16 GB v5e at all.
+                contribs = contribs.astype(jnp.bfloat16)
         elif pyramid.plan_fwd is not None:
             # Pallas BSR: all K slot products as one block-diagonal kernel
             # call (the large-graph regime where [K, N, N] dense is
@@ -318,8 +331,11 @@ class CoreDiffusion:
                 lower = jnp.matmul(lower, lower,
                                    precision=jax.lax.Precision.HIGHEST)
             acc = jax.lax.dot_general(
-                lower, contribs, dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
+                lower.astype(contribs.dtype), contribs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(None if contribs.dtype == jnp.bfloat16
+                           else jax.lax.Precision.HIGHEST))
             if delta:
                 acc = acc + xp.astype(jnp.float32)[None]
             hx = jax.nn.relu(acc) * valid[:, None, None]

@@ -74,6 +74,76 @@ def _core_rnn_budget_bytes():
     return int(os.environ.get("CTGCN_TPU_CORE_RNN_BUDGET", 512 << 20))
 
 
+def _prefix_acc(contribs, delta, xp):
+    """Materialize the k-core prefix acc [K, N, d] from the slot products.
+
+    A lower-triangular [K, K] matmul rather than jnp.cumsum: the cumsum
+    forces XLA into a different [T, K, N, d] layout than the SpMM/GRU
+    dots around it, costing ~5 ms/step of pure relayout copies at UCI
+    scale (profiled v5e); the matmul form stays in the dot pipeline's
+    layout.  K <= 22 so the extra K^2 N d FLOPs are noise at any scale.
+
+    ``delta``: slots are Δ-encoded (contribs[k] = Δ_k @ x), so slot
+    products are A_j @ x = Σ_{i≤j} Δ_i @ x and the masked prefix becomes
+    acc_k = Σ_{j≤k} A_j @ x = (L·L) @ contribs (exact — L entries are
+    small ints); the +I the bank baked into slot 0 comes back as "+ xp"."""
+    K = contribs.shape[0]
+    lower = jnp.tril(jnp.ones((K, K), jnp.float32))
+    if delta:
+        lower = jnp.matmul(lower, lower,
+                           precision=jax.lax.Precision.HIGHEST)
+    acc = jax.lax.dot_general(
+        lower.astype(contribs.dtype), contribs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(None if contribs.dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST))
+    if delta:
+        acc = acc + xp.astype(jnp.float32)[None]
+    return acc
+
+
+def _acc_materialize_budget_bytes():
+    """Byte gate for materializing the [K, N, d] prefix ``acc`` ahead of
+    the over-budget scan tail.  Where acc fits (Facebook-scale: 1.1 GB),
+    the tril-matmul + acc-xs scan backward is measurably faster than the
+    fused-prefix scan (on-chip profile r4: the prefix carries in the
+    checkpointed step cost ~0.3 s extra backward per Facebook-scale
+    step); where it does not (Enron: 3.8 GB f32 + cotangent + XLA layout
+    copy → 24.3 G request vs 15.75 G HBM), the fused form is what fits
+    at all.  Read at trace time."""
+    return int(os.environ.get("CTGCN_TPU_ACC_MATERIALIZE_BUDGET", 2 << 30))
+
+
+def _core_rnn_scan_acc(cell, acc, valid):
+    """Over-budget scan tail over a PRE-MATERIALIZED prefix ``acc``
+    ([K, N, d]): relu+mask+RNN as one checkpointed scan (backward
+    residuals = acc + inter-step carries)."""
+    n = acc.shape[1]
+    H = cell.hidden_dim
+    is_lstm = isinstance(cell, LSTMCell)
+    h0 = jnp.zeros((n, H), jnp.float32)
+    carry0 = (h0, h0) if is_lstm else h0
+    valid = valid.astype(bool)
+
+    @jax.checkpoint
+    def step(carry, inp):
+        acc_k, v = inp
+        hx = jax.nn.relu(acc_k) * v
+        new = cell(carry, hx)
+        if is_lstm:
+            new = tuple(jnp.where(v, nw, old)
+                        for nw, old in zip(new, carry))
+            out = jnp.where(v, new[0], 0.0)
+        else:
+            new = jnp.where(v, new, carry)
+            out = jnp.where(v, new, 0.0)
+        return new, out
+
+    _, outs = jax.lax.scan(step, carry0, (acc, valid))
+    return outs
+
+
 def _core_rnn_scan_remat(cell, contribs, valid, delta=False, xp=None):
     """Memory-lean tail of CoreDiffusion: prefix accumulation + relu+mask
     + RNN over the core axis as one checkpointed scan.
@@ -308,36 +378,20 @@ class CoreDiffusion:
         budget = (_act_budget_bytes() if t_batch > 1
                   else _core_rnn_budget_bytes())
         if tail_bytes > budget:
-            # memory-lean path: the prefix fuses into the checkpointed
-            # scan as [N, d] running-sum carries — no [K, N, d] acc
-            # buffer (see _core_rnn_scan_remat)
-            outs = _core_rnn_scan_remat(self.rnn, contribs, valid, delta,
-                                        xp)
+            acc_bytes = 4 * K * n * d_in * t_batch
+            if acc_bytes <= _acc_materialize_budget_bytes():
+                # acc fits: materialize the prefix (one MXU tril matmul)
+                # and scan over it — faster backward than the fused form
+                acc = _prefix_acc(contribs, delta, xp)
+                outs = _core_rnn_scan_acc(self.rnn, acc, valid)
+            else:
+                # memory-lean path: the prefix fuses into the checkpointed
+                # scan as [N, d] running-sum carries — no [K, N, d] acc
+                # buffer (see _core_rnn_scan_remat)
+                outs = _core_rnn_scan_remat(self.rnn, contribs, valid,
+                                            delta, xp)
         else:
-            # prefix accumulation over the K core slots as a lower-
-            # triangular [K, K] matmul rather than jnp.cumsum: the cumsum
-            # forces XLA into a different [T, K, N, d] layout than the
-            # SpMM/GRU dots around it, costing ~5 ms/step of pure relayout
-            # copies at UCI scale (profiled v5e); the matmul form stays in
-            # the dot pipeline's layout.  K <= 16 so the extra K^2 N d
-            # FLOPs are noise at this scale.
-            lower = jnp.tril(jnp.ones((K, K), jnp.float32))
-            if delta:
-                # delta-encoded slots: contribs[k] = Δ_k @ x, so slot
-                # products are A_j @ x = Σ_{i≤j} Δ_i @ x and the masked
-                # prefix becomes acc_k = Σ_{j≤k} A_j @ x = (L·L) @ contribs
-                # (exact — L entries are small ints); the +I the bank baked
-                # into slot 0 comes back as "+ xp"
-                lower = jnp.matmul(lower, lower,
-                                   precision=jax.lax.Precision.HIGHEST)
-            acc = jax.lax.dot_general(
-                lower.astype(contribs.dtype), contribs,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=(None if contribs.dtype == jnp.bfloat16
-                           else jax.lax.Precision.HIGHEST))
-            if delta:
-                acc = acc + xp.astype(jnp.float32)[None]
+            acc = _prefix_acc(contribs, delta, xp)
             hx = jax.nn.relu(acc) * valid[:, None, None]
             # hx: [K, N, in]; RNN over core axis with packed-seq masking
             outs, _ = rnn_scan(self.rnn, hx, mask=valid)

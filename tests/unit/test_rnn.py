@@ -157,7 +157,13 @@ def test_core_diffusion_tail_gate_env(rng, monkeypatch):
                        hidden_dim=12, output_dim=8, trans_num=1,
                        diffusion_num=2, duration=T)
     ref = model(None, pyr)
+    # budget 0 with acc affordable -> materialized-acc scan tail
     monkeypatch.setenv("CTGCN_TPU_CORE_RNN_BUDGET", "0")
     got = model(None, pyr)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # acc budget 0 too -> fused-prefix scan tail
+    monkeypatch.setenv("CTGCN_TPU_ACC_MATERIALIZE_BUDGET", "0")
+    got2 = model(None, pyr)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

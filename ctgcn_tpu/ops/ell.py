@@ -233,7 +233,13 @@ def _soft_bucket(n):
     every window of a 100-snapshot run a fresh set of table shapes — each
     retraces and recompiles the whole jitted train step (~30-60 s through
     the relay).  Rounding counts to 1/4-pow2 steps collapses the shape set
-    to a handful for ≤12.5% padded-slot overhead."""
+    to a handful for ≤12.5% padded-slot overhead (measured +14% plan
+    slots / ~+15% SpMM pass time on the N=61k single-window profile —
+    the multi-window compile amortization is worth far more in product
+    runs).  ``CTGCN_TPU_ELL_EXACT_BUCKETS=1`` restores exact counts for
+    single-window benchmarks, where no cross-window shape reuse exists."""
+    if os.environ.get("CTGCN_TPU_ELL_EXACT_BUCKETS") == "1":
+        return int(n)
     if n <= 8:
         return max(int(n), 0) and 8
     step = max(8, 1 << (int(n - 1).bit_length() - 3))

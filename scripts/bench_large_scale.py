@@ -91,12 +91,23 @@ def main():
     results = {}
     ell = attach_ell_plans(stacked)
     ell_bf16 = attach_ell_plans(stacked, bf16=True)
+    # exact bucket counts: the soft-bucket 1/4-pow2 rounding exists to
+    # collapse shape sets ACROSS windows (compile amortization); a single
+    # steady-state window has no reuse to buy, so its best config is
+    # exact plans (r3's 234M was measured pre-soft-bucket — keep both
+    # modes visible)
+    os.environ["CTGCN_TPU_ELL_EXACT_BUCKETS"] = "1"
+    ell_exact = attach_ell_plans(stacked)
+    ell_exact_bf16 = attach_ell_plans(stacked, bf16=True)
+    del os.environ["CTGCN_TPU_ELL_EXACT_BUCKETS"]
     variants = (("ell", ell, "full"),   # delta-encoded (the default)
                 ("ell_save_spmm", ell, "save_spmm"),
                 ("ell_bf16", ell_bf16, "full"),
                 # the two wins compose: bf16 gathers cut the SpMM passes
                 # ~1.27x AND save_spmm skips their backward recompute
                 ("ell_bf16_save_spmm", ell_bf16, "save_spmm"),
+                ("ell_exact_save_spmm", ell_exact, "save_spmm"),
+                ("ell_exact_bf16_save_spmm", ell_exact_bf16, "save_spmm"),
                 ("ell_fullslot", attach_ell_plans(stacked, delta=False),
                  "full"),
                 ("segment", stacked, "full"))

@@ -163,6 +163,55 @@ def main():
         print(f"{tag:8s}: {dt*1e3:8.1f} ms/step  {eps/1e6:8.1f} M edge-"
               f"traversals/s  (compile {compile_s:.0f}s)")
 
+    # product-execution variant: the training engine runs epochs as a
+    # lax.scan INSIDE one jit (engine.multi_epoch_step, chunking proven
+    # bit-identical to per-epoch dispatch by test) — per-dispatch relay
+    # overhead amortizes across the chunk, which per-step dispatch
+    # benching above cannot show.  Measure the best config that way too.
+    os.environ["CTGCN_TPU_REMAT_POLICY"] = "save_spmm"
+    CHUNK = 5
+
+    def chunk_loss(m, pyr, target):
+        return jnp.mean((m(None, pyr) - target) ** 2)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def chunk_steps(m, opt_state, pyr, target):
+        def body(carry, _):
+            m, o = carry
+            loss, grads = jax.value_and_grad(chunk_loss)(m, pyr, target)
+            updates, o = optimizer.update(grads, o, m)
+            return (optax.apply_updates(m, updates), o), loss
+
+        (m, opt_state), losses = jax.lax.scan(body, (m, opt_state), None,
+                                              length=CHUNK)
+        return m, opt_state, losses
+
+    try:
+        opt_state = optimizer.init(model)
+        m2 = jax.tree.map(jnp.array, model)
+        t0 = time.time()
+        m2, opt_state, losses = chunk_steps(m2, opt_state, ell_exact_bf16,
+                                            target)
+        jax.block_until_ready(losses)
+        compile_s = time.time() - t0
+        n_chunks = 3 if args.quick else 5
+        t0 = time.time()
+        for _ in range(n_chunks):
+            m2, opt_state, losses = chunk_steps(m2, opt_state,
+                                                ell_exact_bf16, target)
+        jax.block_until_ready(losses)
+        dt = (time.time() - t0) / (n_chunks * CHUNK)
+        results["ell_exact_bf16_save_spmm_chunked"] = {
+            "step_ms": dt * 1e3, "compile_s": compile_s,
+            "edges_per_s": total_nnz * 2 * 3 / dt,
+            "loss": float(losses[-1]), "chunk": CHUNK}
+        print(f"{'ell_exact_bf16_save_spmm_chunked':8s}: {dt*1e3:8.1f} "
+              f"ms/step  {total_nnz*2*3/dt/1e6:8.1f} M edge-traversals/s "
+              f"(chunk {CHUNK}, compile {compile_s:.0f}s)")
+    except Exception as e:
+        results["ell_exact_bf16_save_spmm_chunked"] = {"failed": str(e)[:200]}
+        print(f"chunked: FAILED ({str(e)[:100]})")
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "data", "bench_large_scale.json")
     results["config"] = {"n": N, "t": T, "hid": hid, "out": out_dim,

@@ -410,6 +410,19 @@ class CoreDiffusion:
         return out
 
 
+def _batch_window_tail():
+    """Whether the ragged-blocks path batches the core-RNN tail across
+    time (``_ragged_blocks_cdn_window``).  Default OFF: on-chip A/B on
+    the UCI CTGCN-C step (v5e, r4) measured the T-batched tail at
+    44.4 ms f32 / 42.9 bf16 vs 38.9 / 36.7 for the per-snapshot unrolled
+    form — the batched forward is faster (8.4 ms per-timestep fwd) but
+    its backward loses more than the forward gains (the T-batched GEMM
+    scan backward runs below the many-small-scans form at this size).
+    Kept behind ``CTGCN_TPU_BATCH_WINDOW_TAIL=1`` for re-probing on
+    other topologies.  Read at trace time."""
+    return os.environ.get("CTGCN_TPU_BATCH_WINDOW_TAIL", "0") == "1"
+
+
 def _ragged_blocks_cdn_window(cdn, h, pyramids, stacked_params):
     """All T snapshots of a ragged-blocks window through one CDN, with the
     tail batched across time.
@@ -542,18 +555,26 @@ class CGCN:
         (the mesh path)."""
         if pyramids.blocks is not None and isinstance(pyramids.blocks[0],
                                                       tuple):
-            # ragged per-snapshot block shapes: SpMMs unroll over t, the
-            # parametrized tail batches across t (see
-            # _ragged_blocks_cdn_window)
-            T = len(pyramids.blocks)
-            trans = jnp.stack([
-                _mlp_maybe_identity(self.mlp, None if xs is None else xs[t])
-                for t in range(T)])
-            embs = _ragged_blocks_cdn_window(self.cdn, trans, pyramids,
-                                             stacked_params=False)
-            if self.model_type == "S":
-                return embs, trans
-            return embs
+            from ctgcn_tpu.ops.pyramid import pyramid_at
+
+            if _batch_window_tail():
+                # SpMMs unroll over t, the parametrized tail batches
+                # across t (see _ragged_blocks_cdn_window)
+                T = len(pyramids.blocks)
+                trans = jnp.stack([
+                    _mlp_maybe_identity(self.mlp,
+                                        None if xs is None else xs[t])
+                    for t in range(T)])
+                embs = _ragged_blocks_cdn_window(self.cdn, trans, pyramids,
+                                                 stacked_params=False)
+                if self.model_type == "S":
+                    return embs, trans
+                return embs
+            # ragged per-snapshot block shapes: unroll over t (T <= ~15)
+            res = [self.single(None if xs is None else xs[t],
+                               pyramid_at(pyramids, t))
+                   for t in range(len(pyramids.blocks))]
+            return jax.tree.map(lambda *a: jnp.stack(a), *res)
         use_map = pyramids.plan_fwd is not None
         remat = _window_act_bytes(self.cdn, pyramids) > _act_budget_bytes()
         use_map |= remat
@@ -623,17 +644,29 @@ class CTGCN:
 
         if pyramids.blocks is not None and isinstance(pyramids.blocks[0],
                                                       tuple):
-            # ragged per-snapshot block shapes: SpMMs unroll over t
-            # (T <= ~15), the per-timestep-parametrized tail batches
-            # across t (see _ragged_blocks_cdn_window)
+            from ctgcn_tpu.ops.pyramid import pyramid_at
+
             T = len(pyramids.blocks)
-            trans = jnp.stack([
-                _mlp_maybe_identity(jax.tree.map(lambda l: l[t], self.mlps),
-                                    None if xs is None else xs[t])
-                for t in range(T)])
-            hx = _ragged_blocks_cdn_window(self.cdns, trans, pyramids,
-                                           stacked_params=True)
-            return hx, trans
+            if _batch_window_tail():
+                # SpMMs unroll over t, the per-timestep-parametrized tail
+                # batches across t (see _ragged_blocks_cdn_window)
+                trans = jnp.stack([
+                    _mlp_maybe_identity(
+                        jax.tree.map(lambda l: l[t], self.mlps),
+                        None if xs is None else xs[t])
+                    for t in range(T)])
+                hx = _ragged_blocks_cdn_window(self.cdns, trans, pyramids,
+                                               stacked_params=True)
+                return hx, trans
+            # ragged per-snapshot block shapes: unroll over t (T <= ~15)
+            res = []
+            for t in range(T):
+                mlp_t = jax.tree.map(lambda l: l[t], self.mlps)
+                cdn_t = jax.tree.map(lambda l: l[t], self.cdns)
+                res.append(per_t(mlp_t, cdn_t,
+                                 None if xs is None else xs[t],
+                                 pyramid_at(pyramids, t)))
+            return jax.tree.map(lambda *a: jnp.stack(a), *res)
         use_map = pyramids.plan_fwd is not None
         remat = _window_act_bytes(self.cdns, pyramids) > _act_budget_bytes()
         use_map |= remat

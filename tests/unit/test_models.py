@@ -402,6 +402,43 @@ def test_core_blocks_backend_matches_dense(adjs, rng, uniform):
         g_d, g_b)
 
 
+def test_ragged_blocks_batched_window_tail_matches_unrolled(adjs, rng,
+                                                            monkeypatch):
+    """The env-gated T-batched window tail (CTGCN_TPU_BATCH_WINDOW_TAIL)
+    is numerically equivalent to the default per-snapshot unroll on the
+    ragged-blocks path — fwd and grads, CTGCN-C and CGCN-S."""
+    from ctgcn_tpu.nn.core_models import CTGCN, CGCN
+
+    _, p_blocks = _pyramid_pair(adjs)
+    model = CTGCN.init(jax.random.key(0), input_dim=N, hidden_dim=16,
+                       output_dim=8, trans_num=1, diffusion_num=2,
+                       duration=T)
+    cgcn = CGCN.init(jax.random.key(1), input_dim=N, hidden_dim=16,
+                     output_dim=8, trans_num=1, diffusion_num=1,
+                     model_type="S")
+
+    def loss(m, p):
+        return jnp.sum(jnp.square(m(None, p)))
+
+    ref = model(None, p_blocks)
+    g_ref = jax.grad(loss)(model, p_blocks)
+    e_ref, t_ref = cgcn(None, p_blocks)
+    monkeypatch.setenv("CTGCN_TPU_BATCH_WINDOW_TAIL", "1")
+    got = model(None, p_blocks)
+    g_got = jax.grad(loss)(model, p_blocks)
+    e_got, t_got = cgcn(None, p_blocks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref),
+                               rtol=2e-5, atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
+        g_got, g_ref)
+
+
 def test_core_blocks_backend_cgcn_s(adjs, rng):
     """Blocks backend through the CGCN 'S' tuple-output path."""
     from ctgcn_tpu.nn.core_models import CGCN

@@ -105,14 +105,17 @@ def _prefix_acc(contribs, delta, xp):
 
 def _acc_materialize_budget_bytes():
     """Byte gate for materializing the [K, N, d] prefix ``acc`` ahead of
-    the over-budget scan tail.  Where acc fits (Facebook-scale: 1.1 GB),
-    the tril-matmul + acc-xs scan backward is measurably faster than the
-    fused-prefix scan (on-chip profile r4: the prefix carries in the
-    checkpointed step cost ~0.3 s extra backward per Facebook-scale
-    step); where it does not (Enron: 3.8 GB f32 + cotangent + XLA layout
-    copy → 24.3 G request vs 15.75 G HBM), the fused form is what fits
-    at all.  Read at trace time."""
-    return int(os.environ.get("CTGCN_TPU_ACC_MATERIALIZE_BUDGET", 2 << 30))
+    the over-budget scan tail.  The default (8 GB) effectively always
+    materializes: the fused-prefix alternative measured WORSE on both
+    axes on chip (r4) — slower backward (+0.3 s on the Facebook-scale
+    step: the per-step prefix adds serialize into the checkpointed-step
+    recompute) AND no memory win, because ``lax.scan``'s VJP stacks the
+    per-step carries, so the [N, d] running sums come back as TWO
+    [K, N, d] f32 stacks (measured 2×3.59 G at Enron scale).  What
+    actually fits Enron is bf16 acc STORAGE (the cast in _tail), not
+    prefix fusion.  Lower the env var to force the fused form for
+    study.  Read at trace time."""
+    return int(os.environ.get("CTGCN_TPU_ACC_MATERIALIZE_BUDGET", 8 << 30))
 
 
 def _core_rnn_scan_acc(cell, acc, valid):
@@ -129,7 +132,7 @@ def _core_rnn_scan_acc(cell, acc, valid):
     @jax.checkpoint
     def step(carry, inp):
         acc_k, v = inp
-        hx = jax.nn.relu(acc_k) * v
+        hx = jax.nn.relu(acc_k.astype(jnp.float32)) * v
         new = cell(carry, hx)
         if is_lstm:
             new = tuple(jnp.where(v, nw, old)
@@ -145,21 +148,19 @@ def _core_rnn_scan_acc(cell, acc, valid):
 
 
 def _core_rnn_scan_remat(cell, contribs, valid, delta=False, xp=None):
-    """Memory-lean tail of CoreDiffusion: prefix accumulation + relu+mask
+    """Fused-prefix tail of CoreDiffusion: prefix accumulation + relu+mask
     + RNN over the core axis as one checkpointed scan.
 
-    Numerically equivalent (up to f32 reassociation) to materializing the
-    prefix ``acc = L @ contribs`` (or ``(L·L) @ contribs + xp`` for
-    delta-encoded slots) and running ``rnn_scan(cell, relu(acc)*valid,
-    mask=valid)`` — but the prefix is a RUNNING SUM, so it lives as
-    [N, d] carries inside the scan instead of a second [K, N, d] buffer:
-    at Enron scale (K=22, N=87k, d=500) that removes two 3.8 GB
-    materializations (acc + its cotangent) from the per-snapshot remat
-    peak, the difference between the largest reference regime fitting a
-    16 GB v5e and OOMing.  The ReLU and the input projection also live
-    INSIDE the rematted step, so backward residuals are ``contribs`` (the
-    scan xs) and the inter-step carries — not the [K, N, d_in] hx,
-    [K, N, 3H] gi_all, and per-gate internals the batched tail keeps.
+    KEPT FOR STUDY ONLY (force via CTGCN_TPU_ACC_MATERIALIZE_BUDGET=0):
+    measured on chip (r4) it loses to the materialized-acc scan on both
+    speed (+0.3 s backward on the Facebook-scale step — the per-step
+    prefix adds serialize into the checkpointed-step recompute) and
+    memory (``lax.scan``'s VJP stacks the per-step carries, so the
+    [N, d] running sums come back as TWO [K, N, d] f32 stacks — 2×3.59 G
+    at Enron scale, observed in the OOM dump).  Numerically equivalent
+    (up to f32 reassociation) to materializing ``acc = L @ contribs``
+    (or ``(L·L) @ contribs + xp`` for delta-encoded slots) and running
+    ``rnn_scan(cell, relu(acc)*valid, mask=valid)``.
 
     ``delta``: contribs[k] = Δ_k @ x (ops/ell.build_pyramid_ell_plans), so
     the slot product A_k_raw @ x is itself a prefix — two nested running
@@ -378,16 +379,23 @@ class CoreDiffusion:
         budget = (_act_budget_bytes() if t_batch > 1
                   else _core_rnn_budget_bytes())
         if tail_bytes > budget:
-            acc_bytes = 4 * K * n * d_in * t_batch
+            acc_bytes = contribs.dtype.itemsize * K * n * d_in * t_batch
             if acc_bytes <= _acc_materialize_budget_bytes():
                 # acc fits: materialize the prefix (one MXU tril matmul)
-                # and scan over it — faster backward than the fused form
+                # and scan over it — faster backward than the fused form.
+                # bf16 contribs store acc in bf16 too (accumulated f32 in
+                # the dot): acc + its cotangent at Enron scale are
+                # 2×1.8 GB instead of 2×3.6 GB — with the RNN carry stack
+                # ([K, N, H]) the only other per-step residual, this is
+                # the configuration that fits the largest reference
+                # regime on a 16 GB chip
                 acc = _prefix_acc(contribs, delta, xp)
+                if contribs.dtype == jnp.bfloat16:
+                    acc = acc.astype(jnp.bfloat16)
                 outs = _core_rnn_scan_acc(self.rnn, acc, valid)
             else:
-                # memory-lean path: the prefix fuses into the checkpointed
-                # scan as [N, d] running-sum carries — no [K, N, d] acc
-                # buffer (see _core_rnn_scan_remat)
+                # fused-prefix experiment (measured worse both ways —
+                # see _core_rnn_scan_remat docstring)
                 outs = _core_rnn_scan_remat(self.rnn, contribs, valid,
                                             delta, xp)
         else:

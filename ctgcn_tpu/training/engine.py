@@ -115,7 +115,12 @@ def _multi_epoch_step(loss_fn, lr, weight_decay, state_init=None):
     -> (loss, new_state)."""
     optimizer = make_optimizer(lr, weight_decay)
 
-    @jax.jit
+    # donate params + opt state: at Enron scale they are ~2.6 GB and the
+    # non-donated call kept input AND output alive ("shares 0B with
+    # arguments" in the OOM dump — the 2.2 GB that pushed the window over
+    # HBM).  Callers rebind both results; the driver builds a fresh model
+    # per window, so no donated buffer is ever reused.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def multi_epoch_step(model, opt_state, data, batches, masks, keys):
         # batches/masks: [C, nb, B]; keys: [C] per-epoch loss keys
 

@@ -28,28 +28,6 @@ def stack_graphs(graphs):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _scatter_table(flat_cols, degrees, nnz, n_nodes, max_deg):
-    """CSR-ish (flat_cols, degrees) → padded [N, max_deg] table, built ON
-    DEVICE.  Row ids and slot offsets are derived here (static-length
-    ``jnp.repeat``) so only the compact column ids cross the slow
-    host↔device link; ``flat_cols`` is bucket-padded (one compiled shape
-    serves many snapshots/windows) and ``nnz`` is a dynamic scalar —
-    padding entries get an out-of-range row and are dropped by the
-    scatter."""
-    cap = flat_cols.shape[0]
-    starts = jnp.concatenate([
-        jnp.zeros(1, jnp.int32),
-        jnp.cumsum(degrees)[:-1].astype(jnp.int32)])
-    rows = jnp.repeat(jnp.arange(n_nodes, dtype=jnp.int32), degrees,
-                      total_repeat_length=cap)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    slots = idx - jnp.repeat(starts, degrees, total_repeat_length=cap)
-    rows = jnp.where(idx < nnz, rows, n_nodes)   # OOB → dropped
-    return jnp.zeros((n_nodes, max_deg), jnp.int32).at[rows, slots].set(
-        flat_cols.astype(jnp.int32), mode="drop")
-
-
 class DataLoader:
     """Per-window data loading (reference helper.py:12-222).
 
@@ -264,7 +242,7 @@ class DataLoader:
         metrics.py:68-93)."""
         walk_files = sorted_dir(walk_pair_base_path)
         freq_files = sorted_dir(node_freq_base_path)
-        neighbors_t, degrees_t, logits_t = [], [], []
+        degrees_t, logits_t = [], []
         max_deg = 1
         rows_list = []
         for i in self._window(start_idx, duration):
@@ -282,35 +260,40 @@ class DataLoader:
                 logits = np.log(counts)
             logits_t.append(logits.astype(np.float32))
 
-        # Build the padded [N, max_deg] neighbor tables ON DEVICE from the
-        # flat CSR-ish coordinates: at AS scale (hub rows co-occur with
-        # thousands of nodes) the host-built tables run to hundreds of MB
-        # and the host→device relay link crawls, while the compact column
-        # ids are a few MB and the scatter is nearly free.  Row/slot ids
-        # are derived on device from the (tiny) degree vector.
-        col_dt = np.int16 if self.node_num < (1 << 15) else np.int32
-        deg_cap = pad_bucket(max_deg, 64)
+        # CSR tables (losses.WalkData): the co-occurrence graph is
+        # power-law (enron window 0: mean degree 4.2, max 1530), so the
+        # former padded [N, deg_cap] row table was ~370x its payload —
+        # 2.67 GB of per-window jit arguments at enron scale, the single
+        # largest term in the first enron OOM.  The flat column ids plus
+        # [N] offsets are a few MB, ship host-built in one piece, and the
+        # loss pays only one extra [B] offset gather.  The flat width is
+        # bucket-padded so consecutive windows reuse the compiled step.
+        del max_deg
+        flats, offsets_t = [], []
+        width = 1
         for rows in rows_list:
             dg = np.fromiter((len(r) for r in rows), np.int32,
                              count=self.node_num)
             nnz = int(dg.sum())
-            flat = np.zeros(pad_bucket(nnz, 4096), col_dt)
-            if nnz:
-                flat[:nnz] = np.concatenate(
-                    [np.asarray(r, col_dt) for r in rows if len(r)])
-            # keep the full deg_cap bucket width: slicing to the window's
-            # exact max_deg gave nearly every AS window a fresh neighbor-
-            # table shape, retracing + recompiling the whole multi-epoch
-            # step per window (~30-60 s each through the relay).  The loss
-            # masks by ``degrees`` (losses.py slot_valid), so padding
-            # columns are numerics-free.
-            neighbors_t.append(_scatter_table(
-                jnp.asarray(flat), jnp.asarray(dg), nnz,
-                self.node_num, deg_cap))
+            flat = np.empty(nnz, np.int32)
+            pos = 0
+            for r in rows:
+                if len(r):
+                    flat[pos:pos + len(r)] = r
+                    pos += len(r)
+            offsets = np.zeros(self.node_num, np.int32)
+            np.cumsum(dg[:-1], out=offsets[1:])
+            flats.append(flat)
+            offsets_t.append(offsets)
             degrees_t.append(dg)
+            width = max(width, pad_bucket(nnz, 4096))
+        flat_arr = np.zeros((len(flats), width), np.int32)
+        for t, flat in enumerate(flats):
+            flat_arr[t, :flat.shape[0]] = flat
 
         return WalkData(
-            neighbors=jnp.stack(neighbors_t),
+            nbr_flat=jnp.asarray(flat_arr),
+            nbr_offsets=jnp.asarray(np.stack(offsets_t)),
             degrees=jnp.asarray(np.stack(degrees_t)),
             neg_logits=jnp.asarray(np.stack(logits_t)),
         )

@@ -35,17 +35,52 @@ from flax import struct
 
 @struct.dataclass
 class WalkData:
-    """Per-window walk artifacts as padded device arrays.
+    """Per-window walk artifacts as CSR device arrays.
 
-    neighbors: int32[T, N, MAXNEI] co-occurrence partner ids (pad: 0).
-    degrees:   int32[T, N] partner count per node.
-    neg_logits: float32[T, N] log unnormalized sampling weight per node
-        (log of the reference's replication count; -inf for weight 0).
+    The co-occurrence table is power-law (enron window 0: mean degree 4.2,
+    max 1530), so a padded [T, N, MAXNEI] row table is ~370x larger than
+    its payload — 2.67 GB of jit arguments at enron scale, which is what
+    pushed the first enron compile over the v5e's 15.75 GB HBM.  The loss
+    only ever reads S ≲ 20 scalar picks per batch node, so CSR costs one
+    extra [B] offset gather and nothing else.
+
+    nbr_flat:    int32[T, P] concatenated partner ids, node-major (CSR
+                 values; P = padded window max nnz, pad entries 0).
+    nbr_offsets: int32[T, N] start of each node's partner run in nbr_flat.
+    degrees:     int32[T, N] partner count per node.
+    neg_logits:  float32[T, N] log unnormalized sampling weight per node
+                 (log of the reference's replication count; -inf for 0).
     """
 
-    neighbors: jnp.ndarray
+    nbr_flat: jnp.ndarray
+    nbr_offsets: jnp.ndarray
     degrees: jnp.ndarray
     neg_logits: jnp.ndarray
+
+    @classmethod
+    def from_dense(cls, neighbors, degrees, neg_logits):
+        """Pack a padded [T, N, MAXNEI] row table into CSR (host-side
+        convenience for tests and toy meshes; the loader builds CSR
+        directly from the walk npz artifacts)."""
+        import numpy as np
+
+        nb = np.asarray(neighbors)
+        dg = np.asarray(degrees, dtype=np.int64)
+        T, N, _ = nb.shape
+        width = max(1, int(dg.sum(axis=1).max()))
+        flat = np.zeros((T, width), np.int32)
+        offs = np.zeros((T, N), np.int32)
+        for t in range(T):
+            offs[t] = np.concatenate([[0], np.cumsum(dg[t])[:-1]])
+            pos = 0
+            for i in range(N):
+                d = int(dg[t, i])
+                flat[t, pos:pos + d] = nb[t, i, :d]
+                pos += d
+        return cls(nbr_flat=jnp.asarray(flat),
+                   nbr_offsets=jnp.asarray(offs),
+                   degrees=jnp.asarray(np.asarray(degrees, np.int32)),
+                   neg_logits=jnp.asarray(neg_logits))
 
 
 def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
@@ -63,7 +98,7 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
     B = batch_idx.shape[0]
     keys = jax.random.split(key, T)
 
-    def per_timestamp(t_key, emb, neighbors, degrees, neg_logits):
+    def per_timestamp(t_key, emb, nbr_flat, nbr_offsets, degrees, neg_logits):
         kpos, kneg = jax.random.split(t_key)
         deg = degrees[batch_idx]                      # [B]
         S = neg_num
@@ -76,7 +111,6 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
         # the reference's random.sample semantics, metrics.py:74).  An
         # unfilled slot holds -1, which no randint draw equals, so the
         # dedup check needs no step mask.
-        maxnei = neighbors.shape[1]
         step_keys = jax.random.split(kpos, S)
 
         def floyd_step(chosen, inp):
@@ -91,12 +125,12 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
         chosen, _ = jax.lax.scan(floyd_step, chosen0,
                                  (jnp.arange(S), step_keys), unroll=S)
         j = jnp.where(deg[:, None] <= S, slot, chosen.T)
-        # flat scalar gather: materializing neighbors[batch_idx] would be a
-        # [B, MAXNEI] row gather (~2 ms at UCI scale) for S picks per row.
-        # Out-of-range j on slot-path rows (deg < S) clamps; slot_valid
-        # masks those scores out of the loss.
-        pos_idx = jnp.take(neighbors.reshape(-1),
-                           batch_idx[:, None] * maxnei + j)            # [B, S]
+        # flat scalar gather into the CSR values: S picks per batch row.
+        # Out-of-range j on slot-path rows (deg < S) reads into the next
+        # node's run (or clamps at the end); slot_valid masks those
+        # scores out of the loss, exactly as the padded-table path did.
+        pos_idx = jnp.take(nbr_flat,
+                           nbr_offsets[batch_idx][:, None] + j)        # [B, S]
 
         e_node = emb[batch_idx]                       # [B, d]
         e_pos = emb[pos_idx]                          # [B, S, d]
@@ -115,8 +149,9 @@ def negative_sampling_loss(embs, batch_idx, batch_mask, walk: WalkData, key,
         loss_t = pos_loss + Q * neg_loss
         return jnp.where(sample_num > 0, loss_t, 0.0)
 
-    losses = jax.vmap(per_timestamp)(keys, embs, walk.neighbors,
-                                     walk.degrees, walk.neg_logits)
+    losses = jax.vmap(per_timestamp)(keys, embs, walk.nbr_flat,
+                                     walk.nbr_offsets, walk.degrees,
+                                     walk.neg_logits)
     return jnp.sum(losses)
 
 

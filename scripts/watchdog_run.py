@@ -91,6 +91,13 @@ def main():
     ap.add_argument("--cooldown", type=int, default=900,
                     help="post-kill relay lease wait (the lease outlives "
                          "its client by ~10-13 min; see wait_healthy)")
+    ap.add_argument("--retry-on-fail", type=int, default=0,
+                    help="also retry (after the lease cooldown) when the "
+                         "command EXITS nonzero, up to this many times — "
+                         "for transient remote-worker crashes ('TPU worker "
+                         "process crashed or restarted', observed mid-run "
+                         "at enron scale).  Deterministic failures burn "
+                         "retries, so keep it small.")
     ap.add_argument("cmd", nargs=argparse.REMAINDER)
     args = ap.parse_args()
     cmd = args.cmd
@@ -98,7 +105,9 @@ def main():
         cmd = cmd[1:]
     assert cmd, "no command given"
 
-    for attempt in range(args.retries + 1):
+    fail_budget = args.retry_on_fail
+    attempt = 0
+    while attempt <= args.retries:
         if attempt:
             print(f"[watchdog] retry {attempt}/{args.retries}: waiting "
                   f"{args.cooldown}s for the relay lease to clear",
@@ -106,9 +115,15 @@ def main():
             wait_healthy(args.cooldown)
         status, rc = run_once(cmd, args.log, args.stall, args.total)
         if status == "ok":
-            print(f"[watchdog] command exited rc={rc}", flush=True)
-            sys.exit(rc)
-        print(f"[watchdog] attempt {attempt} {status}", flush=True)
+            if rc == 0 or fail_budget <= 0:
+                print(f"[watchdog] command exited rc={rc}", flush=True)
+                sys.exit(rc)
+            fail_budget -= 1
+            print(f"[watchdog] command exited rc={rc} — retrying "
+                  f"({fail_budget} fail-retries left)", flush=True)
+        else:
+            print(f"[watchdog] attempt {attempt} {status}", flush=True)
+        attempt += 1
     sys.exit(2)
 
 

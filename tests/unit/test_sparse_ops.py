@@ -127,8 +127,8 @@ def test_neg_sampling_loss_narrow_neighbor_table(rng):
     neighbors = jnp.asarray(
         rng.randint(0, N, size=(T, N, maxnei)).astype(np.int32))
     degrees = jnp.asarray(rng.randint(0, maxnei + 1, size=(T, N)).astype(np.int32))
-    walk = WalkData(neighbors=neighbors, degrees=degrees,
-                    neg_logits=jnp.zeros((T, N), np.float32))
+    walk = WalkData.from_dense(neighbors, degrees,
+                               jnp.zeros((T, N), np.float32))
     loss = jax.jit(lambda e: negative_sampling_loss(
         e, jnp.arange(N, dtype=jnp.int32), jnp.ones((N,), bool), walk,
         jax.random.key(0), neg_num=S))(embs)
@@ -152,9 +152,8 @@ def test_neg_sampling_positive_sampler_uniform_subsets():
     neighbors[0, 0] = np.arange(1, maxnei + 1)  # node 0: partners 1..6
     degrees = np.zeros((T, N), np.int32)
     degrees[0, 0] = deg
-    walk = WalkData(neighbors=jnp.asarray(neighbors),
-                    degrees=jnp.asarray(degrees),
-                    neg_logits=jnp.zeros((T, N), np.float32))
+    walk = WalkData.from_dense(neighbors, degrees,
+                               jnp.zeros((T, N), np.float32))
     # one-hot embeddings make pos_score reveal the sampled partner ids:
     # emb rows are e_i, so score(0, j) has a unique signature per partner
     embs = jnp.asarray(np.eye(N, d, dtype=np.float32))[None]

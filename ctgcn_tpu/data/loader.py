@@ -7,7 +7,6 @@ window stacks into [T, ...] device arrays that jit/vmap/scan over cleanly.
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 
@@ -268,6 +267,9 @@ class DataLoader:
         # [N] offsets are a few MB, ship host-built in one piece, and the
         # loss pays only one extra [B] offset gather.  The flat width is
         # bucket-padded so consecutive windows reuse the compiled step.
+        # Columns ship as int32 even when node_num < 2**15: the int16
+        # halving would save <2 MB/window over the relay and costs a
+        # device-side widen before every gather — not worth the branch.
         del max_deg
         flats, offsets_t = [], []
         width = 1

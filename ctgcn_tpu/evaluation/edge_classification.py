@@ -210,6 +210,33 @@ class EdgeClassifier:
         print("Finish edge classification!")
 
 
+def aggregate_results(base_path, edgecls_res_folder, start_idx, rep_num,
+                      method_list):
+    """Merge repetition folders into per-method avg/max/min files
+    (reference evaluation/edge_classification.py:235-297 — same shape as
+    the node-classification aggregator)."""
+    if rep_num <= 0:
+        return
+    for method in method_list:
+        dfs = []
+        for i in range(start_idx, start_idx + rep_num):
+            res_path = os.path.join(base_path, f"{edgecls_res_folder}_{i}",
+                                    method + "_acc_record.csv")
+            df = pd.read_csv(res_path, sep=",", header=0,
+                             names=["date", f"acc_{i}"])
+            dfs.append(df if i == start_idx else df.iloc[:, [1]])
+        df_method = pd.concat(dfs, axis=1)
+        cols = [f"acc_{i}" for i in range(start_idx, start_idx + rep_num)]
+        df_method["avg"] = df_method.loc[:, cols].mean(axis=1)
+        df_method["max"] = df_method.loc[:, cols].max(axis=1)
+        df_method["min"] = df_method.loc[:, cols].min(axis=1)
+        output_base_path = os.path.join(base_path, edgecls_res_folder)
+        check_and_make_path(output_base_path)
+        df_method.to_csv(
+            os.path.join(output_base_path, method + "_acc_record.csv"),
+            sep=",", index=False)
+
+
 def edge_classification(args):
     base_path = args["base_path"]
     origin_folder = args["origin_folder"]
@@ -226,6 +253,7 @@ def edge_classification(args):
     test_ratio = args["test_ratio"]
     do_edgecls = args.get("do_edgecls", True)
     generate = args.get("generate", True)
+    aggregate = args.get("aggregate", False)
     method_list = args.get("method_list", None)
     C_list = args.get("c_list", None)
     max_iter = args.get("max_iter", 5000)
@@ -253,3 +281,6 @@ def edge_classification(args):
             edge_classifier.edge_classification_all_method(
                 method_list=method_list, worker=worker)
     print("edge classification cost time:", time.time() - t1, "seconds!")
+    if aggregate:
+        aggregate_results(base_path, edgecls_res_folder, start_idx, rep_num,
+                          method_list)

@@ -28,7 +28,7 @@ from flax import struct
 
 from ctgcn_tpu.nn.layers import MLP, LayerNorm
 from ctgcn_tpu.ops.pyramid import CorePyramid
-from ctgcn_tpu.ops.rnn import GRUCell, LSTMCell, rnn_scan
+from ctgcn_tpu.ops.rnn import GRUCell, LSTMCell, core_rnn_sum, rnn_scan
 
 
 def _make_rnn(key, rnn_type, input_dim, hidden_dim, bias=True):
@@ -216,9 +216,11 @@ def _window_act_bytes(cdn, pyramids):
     T = pyramids.valid.shape[0]
     K = pyramids.valid.shape[1]
     n = pyramids.n_nodes
+    # shape[-1] deliberately: CTGCN's cdn leaves carry a leading [T] axis,
+    # so shape[-1] reads the true feature dim for both CGCN and CTGCN.
     per_node = sum(3 * layer.rnn.w_ih.shape[-1] + 4 * layer.rnn.w_hh.shape[-1]
-                   for layer in cdn.layers)  # shape[-1] also works on
-    return 4 * T * K * n * per_node          # [T]-stacked CTGCN leaves
+                   for layer in cdn.layers)
+    return 4 * T * K * n * per_node
 
 
 def _mlp_maybe_identity(mlp: MLP, x):
@@ -378,8 +380,22 @@ class CoreDiffusion:
         # snapshot's recompute residuals at a time)
         budget = (_act_budget_bytes() if t_batch > 1
                   else _core_rnn_budget_bytes())
+        acc_bytes = contribs.dtype.itemsize * K * n * d_in * t_batch
+        if (os.environ.get("CTGCN_TPU_CORE_VJP", "1") == "1"
+                and acc_bytes <= _acc_materialize_budget_bytes()):
+            # hand-written VJP (ops/rnn.core_rnn_sum): materialize acc
+            # once (bf16 when the contribs are bf16 and the tail is
+            # over-budget), save only acc + the [K, N, H] pre-step
+            # carries in acc.dtype, and emit the masked SUM directly —
+            # the [K, N, H] outs stack, its cotangent, and XLA's remat
+            # layout copies of acc (3×1.8 GB at Enron scale) all vanish.
+            acc = _prefix_acc(contribs, delta, xp)
+            if contribs.dtype == jnp.bfloat16 and tail_bytes > budget:
+                acc = acc.astype(jnp.bfloat16)
+            out = core_rnn_sum(self.rnn, acc,
+                               valid.astype(jnp.float32))
+            return self.norm(out)
         if tail_bytes > budget:
-            acc_bytes = contribs.dtype.itemsize * K * n * d_in * t_batch
             if acc_bytes <= _acc_materialize_budget_bytes():
                 # acc fits: materialize the prefix (one MXU tril matmul)
                 # and scan over it — faster backward than the fused form.

@@ -241,7 +241,7 @@ def _soft_bucket(n):
     if os.environ.get("CTGCN_TPU_ELL_EXACT_BUCKETS") == "1":
         return int(n)
     if n <= 8:
-        return max(int(n), 0) and 8
+        return 8 if n > 0 else 0
     step = max(8, 1 << (int(n - 1).bit_length() - 3))
     return -(-int(n) // step) * step
 

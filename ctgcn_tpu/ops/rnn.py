@@ -124,6 +124,182 @@ class LSTMCell(NamedTuple):
         return self.step_from_proj(carry, self.input_proj(x))
 
 
+@jax.custom_vjp
+def core_rnn_sum(cell, acc, valid):
+    """Masked core-axis RNN with a hand-written VJP, returning the SUM of
+    the per-step hidden states — i.e. ``rnn_scan(cell, relu(acc)*valid,
+    mask=valid)[0].sum(0)`` (what every CoreDiffusion tail consumes,
+    reference layers.py:58-62) as one fused op.
+
+    Why not ``jax.grad`` of the scan (measured r4, v5e, Enron/Facebook
+    shapes):
+
+      * ``lax.scan``'s VJP stacks per-step residuals and XLA adds layout
+        copies on top — the Enron OOM dump shows THREE [K, 87036, 500]
+        copies of the prefix ``acc`` alone (fusion output + relayout +
+        remat_compressed, 5.6 GB) plus f32 carry stacks;
+      * ``core_tail_bwd`` was 597 ms of the 1.05 s Facebook-scale step —
+        2.5x the forward — from replay-plus-linearize overhead.
+
+    This VJP saves exactly two tensors per layer: ``acc`` (the primal
+    input, any float dtype — bf16 at Enron scale) and the pre-step h
+    carries ([K, N, H]) stored in ``acc.dtype``.  Because the output is
+    the masked sum, the output cotangent is ONE shared [N, H] array —
+    the [K, N, H] outs stack and its cotangent never exist.  The backward
+    is a single reverse scan that recomputes each step's gates from the
+    saved carry (two GEMMs) and emits d_acc in ``acc.dtype``.
+
+    Args:
+      cell: GRUCell or LSTMCell.
+      acc: [K, N, d] prefix accumulation (any float dtype; upcast f32
+        inside, matching ``_core_rnn_scan_acc``).
+      valid: float32[K] mask (1.0 = valid slot).  Invalid steps pass the
+        carry through and contribute nothing (packed-seq semantics).
+
+    Returns: [N, H] float32 — sum of hidden states over valid steps.
+    """
+    out, _ = _core_rnn_sum_fwd(cell, acc, valid)
+    return out
+
+
+def _core_rnn_sum_fwd(cell, acc, valid):
+    n = acc.shape[1]
+    H = cell.hidden_dim
+    is_lstm = isinstance(cell, LSTMCell)
+    store_dt = acc.dtype
+    h0 = jnp.zeros((n, H), jnp.float32)
+    s0 = jnp.zeros((n, H), jnp.float32)
+    carry0 = (h0, h0, s0) if is_lstm else (h0, s0)
+
+    def step(carry, inp):
+        acc_k, v = inp
+        vb = v > 0
+        hx = jax.nn.relu(acc_k.astype(jnp.float32)) * v
+        if is_lstm:
+            h_prev, c_prev, s = carry
+            h_new, c_new = cell((h_prev, c_prev), hx)
+            h_k = jnp.where(vb, h_new, h_prev)
+            c_k = jnp.where(vb, c_new, c_prev)
+            s = s + jnp.where(vb, h_k, 0.0)
+            return ((h_k, c_k, s),
+                    (h_prev.astype(store_dt), c_prev.astype(store_dt)))
+        h_prev, s = carry
+        h_new = cell(h_prev, hx)
+        h_k = jnp.where(vb, h_new, h_prev)
+        s = s + jnp.where(vb, h_k, 0.0)
+        return (h_k, s), h_prev.astype(store_dt)
+
+    carry, saved = jax.lax.scan(step, carry0, (acc, valid))
+    return carry[-1], (cell, acc, valid, saved)
+
+
+def _gru_step_bwd(cell, acc_k, v, h_prev, dh_in):
+    """One reverse GRU step: recompute gates from the saved pre-step carry,
+    return (dh_prev, d_acc_k, per-step param grads).  All f32."""
+    H = cell.hidden_dim
+    vb = v > 0
+    acc_f = acc_k.astype(jnp.float32)
+    hx = jax.nn.relu(acc_f) * v
+    gi = cell.input_proj(hx)
+    gh = h_prev @ cell.w_hh.T + cell.b_hh
+    i_r, i_z, i_n = gi[..., :H], gi[..., H:2 * H], gi[..., 2 * H:]
+    h_r, h_z, h_n = gh[..., :H], gh[..., H:2 * H], gh[..., 2 * H:]
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    nn = jnp.tanh(i_n + r * h_n)
+    # h_k = (1-z)*n + z*h_prev
+    dn = dh_in * (1.0 - z)
+    dz = dh_in * (h_prev - nn)
+    da_n = dn * (1.0 - nn * nn)
+    dr = da_n * h_n
+    dhn = da_n * r
+    da_r = dr * r * (1.0 - r)
+    da_z = dz * z * (1.0 - z)
+    d_gi = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+    d_gh = jnp.concatenate([da_r, da_z, dhn], axis=-1)
+    d_gi = jnp.where(vb, d_gi, 0.0)
+    d_gh = jnp.where(vb, d_gh, 0.0)
+    dh_prev = jnp.where(vb, dh_in * z + d_gh @ cell.w_hh, dh_in)
+    d_acc = ((d_gi @ cell.w_ih) * v) * (acc_f > 0)
+    grads = GRUCell(
+        w_ih=d_gi.T @ hx, w_hh=d_gh.T @ h_prev,
+        b_ih=d_gi.sum(axis=0), b_hh=d_gh.sum(axis=0))
+    return dh_prev, d_acc, grads
+
+
+def _lstm_step_bwd(cell, acc_k, v, h_prev, c_prev, dh_in, dc_in):
+    H = cell.hidden_dim
+    vb = v > 0
+    acc_f = acc_k.astype(jnp.float32)
+    hx = jax.nn.relu(acc_f) * v
+    gates = cell.input_proj(hx) + h_prev @ cell.w_hh.T + cell.b_hh
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    c_new = f * c_prev + i * g
+    tc = jnp.tanh(c_new)
+    # h_k = o * tanh(c_new)
+    do = dh_in * tc
+    dc_tot = dc_in + dh_in * o * (1.0 - tc * tc)
+    di = dc_tot * g
+    df = dc_tot * c_prev
+    dg = dc_tot * i
+    d_gates = jnp.concatenate([
+        di * i * (1.0 - i), df * f * (1.0 - f),
+        dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+    d_gates = jnp.where(vb, d_gates, 0.0)
+    dh_prev = jnp.where(vb, d_gates @ cell.w_hh, dh_in)
+    dc_prev = jnp.where(vb, dc_tot * f, dc_in)
+    d_acc = ((d_gates @ cell.w_ih) * v) * (acc_f > 0)
+    grads = LSTMCell(
+        w_ih=d_gates.T @ hx, w_hh=d_gates.T @ h_prev,
+        b_ih=d_gates.sum(axis=0), b_hh=d_gates.sum(axis=0))
+    return dh_prev, dc_prev, d_acc, grads
+
+
+def _core_rnn_sum_bwd(res, g_out):
+    cell, acc, valid, saved = res
+    n = acc.shape[1]
+    H = cell.hidden_dim
+    is_lstm = isinstance(cell, LSTMCell)
+    g_out = g_out.astype(jnp.float32)
+    dh0 = jnp.zeros((n, H), jnp.float32)
+    pg0 = jax.tree.map(jnp.zeros_like, cell)
+
+    if is_lstm:
+        def stepb(carry, inp):
+            acc_k, v, (h_prev_s, c_prev_s) = inp
+            dh, dc, pg = carry
+            vb = v > 0
+            dh_in = dh + jnp.where(vb, g_out, 0.0)
+            dh_prev, dc_prev, d_acc, grads = _lstm_step_bwd(
+                cell, acc_k, v, h_prev_s.astype(jnp.float32),
+                c_prev_s.astype(jnp.float32), dh_in, dc)
+            pg = jax.tree.map(jnp.add, pg, grads)
+            return (dh_prev, dc_prev, pg), d_acc.astype(acc.dtype)
+
+        (dh, dc, pg), d_acc = jax.lax.scan(
+            stepb, (dh0, dh0, pg0), (acc, valid, saved), reverse=True)
+    else:
+        def stepb(carry, inp):
+            acc_k, v, h_prev_s = inp
+            dh, pg = carry
+            vb = v > 0
+            dh_in = dh + jnp.where(vb, g_out, 0.0)
+            dh_prev, d_acc, grads = _gru_step_bwd(
+                cell, acc_k, v, h_prev_s.astype(jnp.float32), dh_in)
+            pg = jax.tree.map(jnp.add, pg, grads)
+            return (dh_prev, pg), d_acc.astype(acc.dtype)
+
+        (dh, pg), d_acc = jax.lax.scan(
+            stepb, (dh0, pg0), (acc, valid, saved), reverse=True)
+    return pg, d_acc, jnp.zeros_like(valid)
+
+
+core_rnn_sum.defvjp(_core_rnn_sum_fwd, _core_rnn_sum_bwd)
+
+
 def rnn_scan(cell, xs, mask: Optional[jnp.ndarray] = None, h0=None,
              reverse=False, unroll: Optional[int] = None):
     """Run a GRU/LSTM over the leading axis of ``xs`` ([T, B, in]).

@@ -105,26 +105,35 @@ def main():
         cmd = cmd[1:]
     assert cmd, "no command given"
 
-    fail_budget = args.retry_on_fail
-    attempt = 0
-    while attempt <= args.retries:
-        if attempt:
-            print(f"[watchdog] retry {attempt}/{args.retries}: waiting "
-                  f"{args.cooldown}s for the relay lease to clear",
-                  flush=True)
+    # Independent budgets: stalls/timeouts draw on --retries, nonzero
+    # exits draw on --retry-on-fail.  A fail-retry therefore never eats a
+    # stall-retry (and vice versa), and when the fail budget runs out the
+    # watchdog exits with the command's real rc, not 2.
+    stall_left = args.retries
+    fail_left = args.retry_on_fail
+    launched = False
+    while True:
+        if launched:
+            print(f"[watchdog] waiting {args.cooldown}s for the relay "
+                  f"lease to clear before relaunching", flush=True)
             wait_healthy(args.cooldown)
+        launched = True
         status, rc = run_once(cmd, args.log, args.stall, args.total)
         if status == "ok":
-            if rc == 0 or fail_budget <= 0:
+            if rc == 0 or fail_left <= 0:
                 print(f"[watchdog] command exited rc={rc}", flush=True)
                 sys.exit(rc)
-            fail_budget -= 1
+            fail_left -= 1
             print(f"[watchdog] command exited rc={rc} — retrying "
-                  f"({fail_budget} fail-retries left)", flush=True)
+                  f"({fail_left} fail-retries left)", flush=True)
         else:
-            print(f"[watchdog] attempt {attempt} {status}", flush=True)
-        attempt += 1
-    sys.exit(2)
+            if stall_left <= 0:
+                print(f"[watchdog] {status}; stall-retry budget exhausted",
+                      flush=True)
+                sys.exit(2)
+            stall_left -= 1
+            print(f"[watchdog] {status} — retrying "
+                  f"({stall_left} stall-retries left)", flush=True)
 
 
 if __name__ == "__main__":

@@ -477,5 +477,9 @@ def test_remat_map_path_matches_vmap(pyramids, monkeypatch):
     np.testing.assert_allclose(np.asarray(base), np.asarray(rem),
                                rtol=1e-5, atol=1e-5)
     for a, b in zip(jax.tree.leaves(gbase), jax.tree.leaves(grem)):
+        # atol 5e-5: with the custom core-RNN VJP both schedules run the
+        # same hand-written backward, but vmap'd (batched GEMM) vs
+        # lax.map'd (per-snapshot GEMM) reductions associate differently
+        # at f32 (observed max |Δ| 3e-5 on CPU)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-4, atol=5e-5)

@@ -39,15 +39,29 @@ DATA = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data")
 
 REGIMES = {
-    # name: (N, E_total, T, n_c, c, hub_star, bg_power, ref_row)
+    # name: (N, E_total, T, n_c, c, hub_star, bg_power, ref_row, dyn)
+    # dyn "v1": static community membership, 10% edge churn, fresh
+    #   per-snapshot background (near-saturates link-pred: Had AUC 0.997
+    #   at math scale — every member pair separates from uniform
+    #   negatives, r4 finding).
+    # dyn "v2" (math): the quality row must be able to FAIL — 30% edge
+    #   churn + 7%/snapshot rolling community MEMBERSHIP (new members'
+    #   t-1 embeddings look like background, so ~13% of community edges
+    #   become genuinely hard), background drawn from a HIDDEN persistent
+    #   activity ranking (permuted power law) with 50% edge persistence —
+    #   temporal methods that track drift/recurrence keep an edge over
+    #   static ones, instead of everything reading the same near-ceiling.
     "math": (24_740, 323_357, 77, 300, 20.8, 225,
-             0.30, "24740 / 323,357 / 231 / 15 / 77"),
+             0.70, "24740 / 323,357 / 231 / 15 / 77", "v2"),
     "facebook": (60_730, 607_487, 27, 1500, 12.3, 197,
-                 0.30, "60730 / 607,487 / 203 / 9 / 27"),
+                 0.30, "60730 / 607,487 / 203 / 9 / 27", "v1"),
     "enron": (87_036, 530_284, 38, 400, 32.5, 1146,
-              0.30, "87036 / 530,284 / 1150 / 22 / 38"),
+              0.30, "87036 / 530,284 / 1150 / 22 / 38", "v1"),
 }
-CHURN = 0.10
+CHURN = 0.10          # v1 community edge churn
+V2_EDGE_CHURN = 0.30  # v2: community edge resample fraction / snapshot
+V2_MEMBER_CHURN = 0.07  # v2: community membership replacement / snapshot
+V2_BG_PERSIST = 0.50  # v2: background edges surviving to the next snapshot
 
 
 def er_edges(rng, n, e, have=None):
@@ -68,10 +82,13 @@ def er_edges(rng, n, e, have=None):
     return out
 
 
-def background_edges(rng, n, e, power, exclude):
-    """Power-law background over all nodes, excluding existing codes."""
-    w = np.arange(1, n + 1, dtype=np.float64) ** (-power)
-    p = w / w.sum()
+def background_edges(rng, n, e, power, exclude, p=None):
+    """Power-law background over all nodes, excluding existing codes.
+    ``p`` overrides the rank-indexed weights (v2's hidden permuted
+    activity distribution)."""
+    if p is None:
+        w = np.arange(1, n + 1, dtype=np.float64) ** (-power)
+        p = w / w.sum()
     out = np.empty(0, np.int64)
     have = exclude
     while out.size < e:
@@ -101,8 +118,33 @@ def snapshot_stats(n, codes):
     return int(deg.max()), int(core_numbers(a).max())
 
 
+def _gen_v2_window_edges(rng, N, n_c, e_c, hub, p_act, state):
+    """One snapshot's community codes under v2 dynamics (rolling
+    membership + edge churn).  ``state``: (members [n_c] node ids,
+    comm_idx codes over member SLOTS) mutated across snapshots."""
+    members, comm_idx = state
+    if comm_idx is None:                       # first snapshot
+        comm_idx = er_edges(rng, n_c, e_c)
+    else:
+        n_rep = int(V2_MEMBER_CHURN * n_c)
+        rep_slots = rng.choice(n_c, size=n_rep, replace=False)
+        outside = np.setdiff1d(np.arange(N), np.append(members, hub),
+                               assume_unique=False)
+        members[rep_slots] = rng.choice(outside, size=n_rep, replace=False)
+        u, v = comm_idx // n_c, comm_idx % n_c
+        touch = np.isin(u, rep_slots) | np.isin(v, rep_slots)
+        keep = comm_idx[~touch]
+        drop = rng.choice(keep.size, size=int(V2_EDGE_CHURN * keep.size),
+                          replace=False)
+        keep = np.delete(keep, drop)
+        comm_idx = er_edges(rng, n_c, e_c - keep.size, have=keep)
+    state[1] = comm_idx
+    u, v = members[comm_idx // n_c], members[comm_idx % n_c]
+    return (np.minimum(u, v).astype(np.int64) * N + np.maximum(u, v))
+
+
 def gen(name):
-    N, E_total, T, n_c, c, hub_star, bg_power, ref = REGIMES[name]
+    N, E_total, T, n_c, c, hub_star, bg_power, ref, dyn = REGIMES[name]
     rng = np.random.RandomState(20260819)
     base = os.path.join(DATA, name)
     fmt_dir = os.path.join(base, "1.format")
@@ -122,24 +164,54 @@ def gen(name):
     # star edges peel and never deepen the planted core)
     e_c = int(round(c * n_c / 2))
     hub = n_c
-    comm = er_edges(rng, n_c, e_c)
+    if dyn == "v2":
+        # hidden persistent activity: a power law over a SECRET node
+        # permutation (so node id carries no signal), fixed across time
+        w = np.empty(N, np.float64)
+        w[rng.permutation(N)] = (
+            np.arange(1, N + 1, dtype=np.float64) ** (-bg_power))
+        p_act = w / w.sum()
+        v2_state = [rng.choice(np.delete(np.arange(N), hub), size=n_c,
+                               replace=False), None]
+        bg_prev = np.empty(0, np.int64)
+    else:
+        comm = er_edges(rng, n_c, e_c)
     max_deg_seen, max_core_seen = 0, 0
     for t in range(T):
-        if t > 0:
+        if dyn == "v2":
+            comm_codes = _gen_v2_window_edges(rng, N, n_c, e_c, hub,
+                                              p_act, v2_state)
+        elif t > 0:
             drop = rng.choice(comm.size, size=int(CHURN * comm.size),
                               replace=False)
             comm = er_edges(rng, n_c, drop.size,
                             have=np.delete(comm, drop))
-        # community codes are over [0, n_c) — same codes are valid over N
-        # since min/max node ids stay < n_c < N
         star_v = rng.choice(N - n_c - 1, size=hub_star,
                             replace=False) + n_c + 1
         star = np.minimum(hub, star_v).astype(np.int64) * N \
             + np.maximum(hub, star_v)
-        comm_codes = (comm // n_c) * N + (comm % n_c)
+        if dyn != "v2":
+            # community codes over [0, n_c) are valid over N unchanged
+            # since min/max node ids stay < n_c < N
+            comm_codes = (comm // n_c) * N + (comm % n_c)
         used = np.concatenate([comm_codes, star])
-        bg = background_edges(rng, N, int(counts[t]) - used.size,
-                              bg_power, used)
+        if dyn == "v2":
+            # 50% of the previous background survives (recurrence a
+            # temporal method can exploit); the rest redraws from the
+            # hidden activity distribution
+            keep_n = int(V2_BG_PERSIST * bg_prev.size)
+            bg_keep = (rng.choice(bg_prev, size=keep_n, replace=False)
+                       if keep_n else np.empty(0, np.int64))
+            bg_keep = bg_keep[~np.isin(bg_keep, used)]
+            used2 = np.concatenate([used, bg_keep])
+            fresh = background_edges(
+                rng, N, int(counts[t]) - used2.size, bg_power, used2,
+                p=p_act)
+            bg = np.concatenate([bg_keep, fresh])
+            bg_prev = bg
+        else:
+            bg = background_edges(rng, N, int(counts[t]) - used.size,
+                                  bg_power, used)
         codes = np.concatenate([used, bg])
         assert codes.size == counts[t]
         d, k = snapshot_stats(N, codes)

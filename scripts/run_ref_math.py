@@ -45,9 +45,21 @@ class _Unused:  # pragma: no cover - constructor-only stub
 
 for cls in ["GCNConv", "GATConv", "SAGEConv", "GINConv", "MessagePassing"]:
     setattr(tg_nn, cls, _Unused)
+tg_utils = types.ModuleType("torch_geometric.utils")
+for fn in ["remove_self_loops", "add_self_loops", "softmax", "degree"]:
+    setattr(tg_utils, fn, _Unused)
+tg_inits = types.ModuleType("torch_geometric.nn.inits")
+for fn in ["glorot", "zeros", "uniform", "reset"]:
+    setattr(tg_inits, fn, _Unused)
 tg.nn = tg_nn
+tg.utils = tg_utils
+tg_nn.inits = tg_inits
+tg.__path__ = []  # mark as package so submodule imports resolve
+tg_nn.__path__ = []
 sys.modules.setdefault("torch_geometric", tg)
 sys.modules.setdefault("torch_geometric.nn", tg_nn)
+sys.modules.setdefault("torch_geometric.utils", tg_utils)
+sys.modules.setdefault("torch_geometric.nn.inits", tg_inits)
 tsc = types.ModuleType("torch_scatter")
 for fn in ["scatter_add", "scatter_mean", "scatter_max"]:
     setattr(tsc, fn, _Unused)

@@ -162,6 +162,25 @@ def core_rnn_sum(cell, acc, valid):
     return out
 
 
+def _cvjp_batch_budget_bytes():
+    """Byte gate for the K-batched halves of core_rnn_sum (read at trace
+    time).  Under it, the input projection hoists out of the forward scan
+    as ONE [K, N, d] GEMM, and the backward precomputes gi/gh/gates for
+    all K slots batched so the reverse scan's sequential chain is a
+    single [N, H] @ [H, GH] GEMM per step (vs six GEMMs/step in the lean
+    mode) — the latency lever for small graphs, where the step is bound
+    by 2·T·L·K dependent GEMMs, not FLOPs.  Above it (facebook/enron
+    [K, N, 3H] stacks are 3-12 GB) the lean per-step recompute keeps the
+    footprint at acc + carries only."""
+    return int(os.environ.get("CTGCN_TPU_CVJP_BATCH_BUDGET", 512 << 20))
+
+
+def _cvjp_batched(cell, acc):
+    gh = 4 if isinstance(cell, LSTMCell) else 3
+    bytes_kn3h = 4 * acc.shape[0] * acc.shape[1] * gh * cell.hidden_dim
+    return bytes_kn3h <= _cvjp_batch_budget_bytes()
+
+
 def _core_rnn_sum_fwd(cell, acc, valid):
     n = acc.shape[1]
     H = cell.hidden_dim
@@ -170,6 +189,33 @@ def _core_rnn_sum_fwd(cell, acc, valid):
     h0 = jnp.zeros((n, H), jnp.float32)
     s0 = jnp.zeros((n, H), jnp.float32)
     carry0 = (h0, h0, s0) if is_lstm else (h0, s0)
+    batched = _cvjp_batched(cell, acc)
+
+    if batched:
+        # hoist the input projection: one [K, N, d] @ [d, GH] MXU GEMM,
+        # leaving a single h @ w_hh GEMM inside the sequential scan
+        hx_all = jax.nn.relu(acc.astype(jnp.float32)) * valid[:, None, None]
+        gi_all = cell.input_proj(hx_all)
+
+        def stepb(carry, inp):
+            gi_k, v = inp
+            vb = v > 0
+            if is_lstm:
+                h_prev, c_prev, s = carry
+                h_new, c_new = cell.step_from_proj((h_prev, c_prev), gi_k)
+                h_k = jnp.where(vb, h_new, h_prev)
+                c_k = jnp.where(vb, c_new, c_prev)
+                s = s + jnp.where(vb, h_k, 0.0)
+                return ((h_k, c_k, s),
+                        (h_prev.astype(store_dt), c_prev.astype(store_dt)))
+            h_prev, s = carry
+            h_new = cell.step_from_proj(h_prev, gi_k)
+            h_k = jnp.where(vb, h_new, h_prev)
+            s = s + jnp.where(vb, h_k, 0.0)
+            return (h_k, s), h_prev.astype(store_dt)
+
+        carry, saved = jax.lax.scan(stepb, carry0, (gi_all, valid))
+        return carry[-1], (cell, acc, valid, saved)
 
     def step(carry, inp):
         acc_k, v = inp
@@ -258,8 +304,93 @@ def _lstm_step_bwd(cell, acc_k, v, h_prev, c_prev, dh_in, dc_in):
     return dh_prev, dc_prev, d_acc, grads
 
 
+def _core_rnn_sum_bwd_batched(res, g_out):
+    """K-batched backward (under _cvjp_batch_budget_bytes): gi/gh/gates
+    for ALL slots as batched GEMMs/elementwise; the reverse scan's
+    sequential chain is one d_gates @ w_hh GEMM per step; d_acc and the
+    weight grads are batched GEMMs after the scan."""
+    cell, acc, valid, saved = res
+    n = acc.shape[1]
+    H = cell.hidden_dim
+    is_lstm = isinstance(cell, LSTMCell)
+    g_out = g_out.astype(jnp.float32)
+    dh0 = jnp.zeros((n, H), jnp.float32)
+    vmask = valid[:, None, None]
+    hx_all = jax.nn.relu(acc.astype(jnp.float32)) * vmask
+    gi_all = cell.input_proj(hx_all)
+
+    if is_lstm:
+        h_prevs = saved[0].astype(jnp.float32)
+        c_prevs = saved[1].astype(jnp.float32)
+        gates = gi_all + h_prevs @ cell.w_hh.T + cell.b_hh
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H:2 * H])
+        g = jnp.tanh(gates[..., 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H:])
+        tc = jnp.tanh(f * c_prevs + i * g)
+
+        def stepb(carry, inp):
+            dh, dc = carry
+            i_k, f_k, g_k, o_k, tc_k, c_prev, v = inp
+            vb = v > 0
+            dh_in = dh + jnp.where(vb, g_out, 0.0)
+            do = dh_in * tc_k
+            dc_tot = dc + dh_in * o_k * (1.0 - tc_k * tc_k)
+            d_gates = jnp.concatenate([
+                dc_tot * g_k * i_k * (1.0 - i_k),
+                dc_tot * c_prev * f_k * (1.0 - f_k),
+                dc_tot * i_k * (1.0 - g_k * g_k),
+                do * o_k * (1.0 - o_k)], axis=-1)
+            d_gates = jnp.where(vb, d_gates, 0.0)
+            dh_prev = jnp.where(vb, d_gates @ cell.w_hh, dh_in)
+            dc_prev = jnp.where(vb, dc_tot * f_k, dc)
+            return (dh_prev, dc_prev), d_gates
+
+        _, d_gates = jax.lax.scan(
+            stepb, (dh0, dh0), (i, f, g, o, tc, c_prevs, valid),
+            reverse=True)
+        d_gi = d_gh = d_gates
+    else:
+        h_prevs = saved.astype(jnp.float32)
+        gh_all = h_prevs @ cell.w_hh.T + cell.b_hh
+        r = jax.nn.sigmoid(gi_all[..., :H] + gh_all[..., :H])
+        z = jax.nn.sigmoid(gi_all[..., H:2 * H] + gh_all[..., H:2 * H])
+        nn = jnp.tanh(gi_all[..., 2 * H:] + r * gh_all[..., 2 * H:])
+        hn = gh_all[..., 2 * H:]
+
+        def stepb(dh, inp):
+            r_k, z_k, n_k, hn_k, h_prev, v = inp
+            vb = v > 0
+            dh_in = dh + jnp.where(vb, g_out, 0.0)
+            dn = dh_in * (1.0 - z_k)
+            dz = dh_in * (h_prev - n_k)
+            da_n = dn * (1.0 - n_k * n_k)
+            da_r = da_n * hn_k * r_k * (1.0 - r_k)
+            da_z = dz * z_k * (1.0 - z_k)
+            d_gi_k = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+            d_gh_k = jnp.concatenate([da_r, da_z, da_n * r_k], axis=-1)
+            d_gi_k = jnp.where(vb, d_gi_k, 0.0)
+            d_gh_k = jnp.where(vb, d_gh_k, 0.0)
+            dh_prev = jnp.where(vb, dh_in * z_k + d_gh_k @ cell.w_hh,
+                                dh_in)
+            return dh_prev, (d_gi_k, d_gh_k)
+
+        _, (d_gi, d_gh) = jax.lax.scan(
+            stepb, dh0, (r, z, nn, hn, h_prevs, valid), reverse=True)
+
+    d_acc = (((d_gi @ cell.w_ih) * vmask)
+             * (acc.astype(jnp.float32) > 0)).astype(acc.dtype)
+    pg = type(cell)(
+        w_ih=jnp.tensordot(d_gi, hx_all, axes=[[0, 1], [0, 1]]),
+        w_hh=jnp.tensordot(d_gh, h_prevs, axes=[[0, 1], [0, 1]]),
+        b_ih=d_gi.sum(axis=(0, 1)), b_hh=d_gh.sum(axis=(0, 1)))
+    return pg, d_acc, jnp.zeros_like(valid)
+
+
 def _core_rnn_sum_bwd(res, g_out):
     cell, acc, valid, saved = res
+    if _cvjp_batched(cell, acc):
+        return _core_rnn_sum_bwd_batched(res, g_out)
     n = acc.shape[1]
     H = cell.hidden_dim
     is_lstm = isinstance(cell, LSTMCell)

@@ -24,9 +24,16 @@ _MASKS = [
 ]
 
 
+@pytest.mark.parametrize("batch_budget", ["default", "0"])
 @pytest.mark.parametrize("mask_i", range(len(_MASKS)))
 @pytest.mark.parametrize("rnn_type", ["GRU", "LSTM"])
-def test_core_rnn_sum_matches_autodiff(rnn_type, mask_i, rng):
+def test_core_rnn_sum_matches_autodiff(rnn_type, mask_i, batch_budget,
+                                       rng, monkeypatch):
+    """Both execution modes — K-batched GEMMs (default at toy sizes) and
+    the lean per-step recompute (budget 0, the enron-scale mode) — must
+    match the autodiff'd scan in values and grads."""
+    if batch_budget != "default":
+        monkeypatch.setenv("CTGCN_TPU_CVJP_BATCH_BUDGET", batch_budget)
     K, n, d, H = 6, 23, 10, 7
     cell = (GRUCell if rnn_type == "GRU" else LSTMCell).init(
         jax.random.key(5), d, H)

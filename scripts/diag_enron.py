@@ -30,6 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=int, default=5)
     ap.add_argument("--stop-after", default="E")
+    ap.add_argument("--then-product", action="store_true",
+                    help="after all stages pass, free the diagnostic "
+                         "state and run the FULL product embedding in "
+                         "this same process (one relay lease)")
     args_cli = ap.parse_args()
 
     import jax
@@ -132,6 +136,19 @@ def main():
     losses = jax.block_until_ready(losses)
     print(f"[E chunk(2)] OK {np.asarray(losses)} "
           f"({time.time() - t:.1f}s)", flush=True)
+
+    if args_cli.then_product:
+        # free every diagnostic device buffer, then run the real thing
+        # in this process — the relay lease is already paid
+        import gc
+        del (model, data, adjs, xs, walk, m2, opt2, m3, opt3, losses,
+             opt_state, b0, m0, bs, ms, ks)
+        gc.collect()
+        print("=== diagnostic clean; starting PRODUCT embedding ===",
+              flush=True)
+        prod_args = json.load(open("configs/enron.json"))["embedding"][
+            "CTGCN-C"]
+        D.gnn_embedding("CTGCN-C", prod_args)
 
 
 if __name__ == "__main__":

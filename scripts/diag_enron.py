@@ -82,6 +82,20 @@ def main():
         print(f"[{tag}] OK {float(np.asarray(out)):.4f} "
               f"({time.time() - t:.1f}s)", flush=True)
 
+    from ctgcn_tpu.ops.ell import ell_spmm
+
+    def spmm_only(d, x):
+        def per_t(p):
+            return jnp.sum(jnp.abs(ell_spmm(p.ell_fwd, p.ell_t, x,
+                                            p.ell_bf16)))
+        return jnp.sum(jax.lax.map(per_t, d["adjs"]))
+
+    x0 = jnp.ones((N, 500), jnp.float32)
+    stage("A1 spmm bank", jax.jit(spmm_only), data, x0)
+    del x0
+    if args_cli.stop_after == "A1":
+        return
+
     stage("A fwd", jax.jit(lambda m_, d: jnp.sum(
         jnp.abs(fwd(m_, d, jax.random.key(3))))), model, data)
     if args_cli.stop_after == "A":

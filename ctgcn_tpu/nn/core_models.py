@@ -518,6 +518,21 @@ class CDN:
         return CDN(layers=layers)
 
     def __call__(self, x, pyramid):
+        # CTGCN_TPU_LAYER_REMAT=1 (config key ``layer_remat``) wraps each
+        # CoreDiffusion layer in its own checkpoint so one layer's tail
+        # residuals (acc + carries, ~4.4 GB/layer at enron scale) never
+        # sit materialized while another layer's backward runs — under
+        # the window-level full remat alone, layer 1's replayed residuals
+        # wait through layer 2's entire backward, and the enron window
+        # dies at runtime with RESOURCE_EXHAUSTED (r5 bisection
+        # scripts/diag_enron.py: fwd/loss/grad/one-epoch all pass, the
+        # epoch chunk OOMs).  Costs one extra per-layer forward in
+        # backward; read at trace time.
+        if os.environ.get("CTGCN_TPU_LAYER_REMAT") == "1":
+            for layer in self.layers:
+                x = jax.checkpoint(
+                    lambda lyr, xx: lyr(xx, pyramid))(layer, x)
+            return x
         for layer in self.layers:
             x = layer(x, pyramid)
         return x

@@ -524,6 +524,10 @@ def gnn_embedding(method, args):
     if remat_policy:
         assert remat_policy in ("full", "save_spmm"), remat_policy
         os.environ["CTGCN_TPU_REMAT_POLICY"] = remat_policy
+    if args.get("layer_remat"):
+        # per-CoreDiffusion-layer checkpoint (see nn.core_models.CDN):
+        # the enron-scale memory knob
+        os.environ["CTGCN_TPU_LAYER_REMAT"] = "1"
 
     data_loader = get_data_loader(args)
     max_time_num = data_loader.max_time_num

@@ -31,10 +31,24 @@ def main():
     ap.add_argument("--duration", type=int, default=5)
     ap.add_argument("--stop-after", default="E")
     ap.add_argument("--then-product", action="store_true",
-                    help="after all stages pass, free the diagnostic "
-                         "state and run the FULL product embedding in "
-                         "this same process (one relay lease)")
+                    help="skip the (already conclusive) staged bisection "
+                         "and run the FULL product embedding directly — "
+                         "the r5 bisection verdict is in the module "
+                         "docstring; the fix is the layer_remat config "
+                         "key")
     args_cli = ap.parse_args()
+
+    if args_cli.then_product:
+        import json as _json
+        from ctgcn_tpu.main import _enable_compilation_cache
+        _enable_compilation_cache()
+        from ctgcn_tpu.training import driver as D
+        prod_args = _json.load(open("configs/enron.json"))["embedding"][
+            "CTGCN-C"]
+        print("=== PRODUCT embedding (layer_remat="
+              f"{prod_args.get('layer_remat')}) ===", flush=True)
+        D.gnn_embedding("CTGCN-C", prod_args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -138,6 +138,44 @@ def test_core_rnn_sum_bf16_storage(rng):
                                rtol=0.2, atol=0.1)
 
 
+def test_layer_remat_matches_plain(rng, monkeypatch):
+    """CTGCN_TPU_LAYER_REMAT=1 (the enron memory knob) must not change
+    values or grads — only the backward's rematerialization schedule."""
+    import scipy.sparse as sp
+    from ctgcn_tpu.nn import CTGCN
+    from ctgcn_tpu.ops.pyramid import build_core_pyramid, stack_pyramids
+
+    N, T = 30, 2
+    pyrs = []
+    for _ in range(T):
+        dmat = (rng.random((N, N)) < 0.3).astype(np.float32)
+        dmat = np.triu(dmat, 1)
+        A = sp.csr_matrix(dmat + dmat.T)
+        deg = np.asarray(A.sum(1)).flatten()
+        mats = []
+        for k in [2, 1]:
+            keep = (deg >= k).astype(np.float32)
+            mats.append(sp.csr_matrix(
+                A.multiply(keep[:, None]).multiply(keep[None, :])))
+        pyrs.append(build_core_pyramid(mats, N, num_slots=3, pad_to=512))
+    pyr = stack_pyramids(pyrs)
+    model = CTGCN.init(jax.random.key(1), input_dim=N, hidden_dim=10,
+                       output_dim=6, trans_num=1, diffusion_num=2,
+                       duration=T)
+
+    def loss(m):
+        return jnp.sum(jnp.tanh(m(None, pyr)) ** 2)
+
+    out0, g0 = model(None, pyr), jax.grad(loss)(model)
+    monkeypatch.setenv("CTGCN_TPU_LAYER_REMAT", "1")
+    out1, g1 = model(None, pyr), jax.grad(loss)(model)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=3e-5, atol=2e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=2e-6), g1, g0)
+
+
 def test_tail_cvjp_vs_legacy_paths(rng, monkeypatch):
     """CTGCN-C end-to-end: the default cvjp tail must match the legacy
     autodiff tails (batched rnn_scan AND the budget-0 scan) in both the

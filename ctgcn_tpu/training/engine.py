@@ -166,6 +166,59 @@ def _multi_epoch_step(loss_fn, lr, weight_decay, state_init=None):
     return multi_epoch_step
 
 
+@functools.lru_cache(maxsize=None)
+def _single_epoch_step(loss_fn, lr, weight_decay, state_init=None):
+    """One epoch as its own jit: inner batch scan + one optimizer step,
+    NO outer epoch scan and NO donation.
+
+    This is the ``epoch_chunk=1`` execution path.  It exists because the
+    enron-scale bisection (scripts/diag_enron.py, r5) showed exactly this
+    construct running green on chip while the chunked
+    ``_multi_epoch_step`` (epoch ``lax.scan`` over the batch scan, with
+    donated 3 GB carries) kills the TPU worker ('kernel fault') — the
+    nested-scan + donation wrapper is the only structural difference.
+    The extra cost is one ~95 ms relay dispatch per epoch, noise next to
+    an enron epoch's seconds of compute."""
+    optimizer = make_optimizer(lr, weight_decay)
+
+    @jax.jit
+    def single_epoch_step(model, opt_state, data, batches, masks, key):
+        # batches/masks: [nb, B]
+        e_keys = jax.random.split(key, batches.shape[0])
+        zero_grads = jax.tree.map(jnp.zeros_like, model)
+
+        if state_init is None:
+            def body(grads_loss, binp):
+                grads_acc, loss_acc = grads_loss
+                b_idx, b_mask, k = binp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    model, data, b_idx, b_mask, k)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), loss
+
+            (grads, total_loss), _ = jax.lax.scan(
+                body, (zero_grads, 0.0), (batches, masks, e_keys))
+        else:
+            def body(carry_b, binp):
+                grads_acc, loss_acc, state = carry_b
+                b_idx, b_mask, k = binp
+                (loss, state), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        model, data, b_idx, b_mask, k, state)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss,
+                        jax.lax.stop_gradient(state)), loss
+
+            (grads, total_loss, _), _ = jax.lax.scan(
+                body, (zero_grads, 0.0, state_init(model, data)),
+                (batches, masks, e_keys))
+        updates, opt_state = optimizer.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, total_loss
+
+    return single_epoch_step
+
+
 class BaseEmbedding:
     """Paths + embedding CSV export (reference embedding.py:13-89)."""
 
@@ -262,8 +315,6 @@ class UnsupervisedEmbedding(BaseEmbedding):
 
         optimizer = make_optimizer(lr, weight_decay)
         opt_state = optimizer.init(model)
-        multi_epoch_step = _multi_epoch_step(self.loss_fn, lr, weight_decay,
-                                             self.state_init)
 
         from ctgcn_tpu.training.profiling import EpochTracer
 
@@ -271,6 +322,12 @@ class UnsupervisedEmbedding(BaseEmbedding):
         if tracer.dir:
             epoch_chunk = 1    # per-epoch traces stay exact
         epoch_chunk = max(1, min(epoch_chunk, epoch))
+        if epoch_chunk == 1:
+            single_step = _single_epoch_step(self.loss_fn, lr, weight_decay,
+                                             self.state_init)
+        else:
+            multi_epoch_step = _multi_epoch_step(
+                self.loss_fn, lr, weight_decay, self.state_init)
         rng = jax.random.key(seed)
         st = time.time()
         done = 0
@@ -286,10 +343,17 @@ class UnsupervisedEmbedding(BaseEmbedding):
                 k_list.append(k_loss)
             tracer.before_epoch(done)
             with tracer.annotate(done):
-                model, opt_state, losses = multi_epoch_step(
-                    model, opt_state, self.data,
-                    jnp.asarray(np.stack(b_list)),
-                    jnp.asarray(np.stack(m_list)), jnp.stack(k_list))
+                if epoch_chunk == 1:
+                    model, opt_state, losses = single_step(
+                        model, opt_state, self.data,
+                        jnp.asarray(b_list[0]), jnp.asarray(m_list[0]),
+                        k_list[0])
+                    losses = losses[None]
+                else:
+                    model, opt_state, losses = multi_epoch_step(
+                        model, opt_state, self.data,
+                        jnp.asarray(np.stack(b_list)),
+                        jnp.asarray(np.stack(m_list)), jnp.stack(k_list))
                 if tracer.active:      # trace wants the real device time
                     jax.block_until_ready(losses)
             tracer.after_epoch(done)

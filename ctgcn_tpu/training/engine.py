@@ -178,10 +178,16 @@ def _single_epoch_step(loss_fn, lr, weight_decay, state_init=None):
     donated 3 GB carries) kills the TPU worker ('kernel fault') — the
     nested-scan + donation wrapper is the only structural difference.
     The extra cost is one ~95 ms relay dispatch per epoch, noise next to
-    an enron epoch's seconds of compute."""
+    an enron epoch's seconds of compute.
+
+    Params + opt state ARE donated here: the non-donated variant ran
+    epoch 1 green at enron scale and then died RESOURCE_EXHAUSTED on
+    epoch 2 — the relay frees the previous epoch's 3.1 GB of param/opt
+    buffers lazily, so without aliasing the copies pile up across
+    dispatches."""
     optimizer = make_optimizer(lr, weight_decay)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def single_epoch_step(model, opt_state, data, batches, masks, key):
         # batches/masks: [nb, B]
         e_keys = jax.random.split(key, batches.shape[0])

@@ -22,23 +22,39 @@ os.chdir(REPO)
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["e10", "e50", "both"], default="both")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (TPU busy with enron): "
+                         "force the ELL core backend — XLA:CPU serializes "
+                         "the segment path (CLAUDE.md)")
+    args_cli = ap.parse_args()
+    if args_cli.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     from ctgcn_tpu.main import _enable_compilation_cache
     _enable_compilation_cache()
     from ctgcn_tpu.training.driver import gnn_embedding
 
     base = json.load(open("configs/math.json"))["embedding"]["CTGCN-C"]
+    if args_cli.cpu:
+        base["core_backend"] = "ell"
 
-    e10 = dict(base)
-    e10.update(embed_folder="2.embedding/CTGCN-C-e10",
-               model_file="ctgcn-c-e10", epoch=10, end_idx=9,
-               record_time=False)
-    print("=== math CTGCN-C e10 windows 0-1 (anchor) ===", flush=True)
-    gnn_embedding("CTGCN-C", e10)
+    if args_cli.only in ("e10", "both"):
+        e10 = dict(base)
+        e10.update(embed_folder="2.embedding/CTGCN-C-e10",
+                   model_file="ctgcn-c-e10", epoch=10, end_idx=9,
+                   record_time=False)
+        print("=== math CTGCN-C e10 windows 0-1 (anchor) ===", flush=True)
+        gnn_embedding("CTGCN-C", e10)
 
-    e50 = dict(base)
-    e50.update(record_time=True)
-    print("=== math CTGCN-C e50 all windows (headline) ===", flush=True)
-    gnn_embedding("CTGCN-C", e50)
+    if args_cli.only in ("e50", "both"):
+        e50 = dict(base)
+        e50.update(record_time=True)
+        print("=== math CTGCN-C e50 all windows (headline) ===", flush=True)
+        gnn_embedding("CTGCN-C", e50)
 
 
 if __name__ == "__main__":
